@@ -1,0 +1,141 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Driver-side CSVW metadata JSON(-LD) parser, using the Jackson that ships
+  * with Spark. Mirrors the reference's type-dispatch on `@type` / property
+  * fingerprint (`/root/reference/lib/rdf/tabular/metadata.rb:255-310`):
+  * `tables` → TableGroup, `url` → Table, `columns` → Schema.
+  */
+object CsvwJson {
+
+  private val mapper = new ObjectMapper()
+
+  def parseTableGroup(json: String): TableGroupMeta = fromNode(mapper.readTree(json))
+
+  /** Accepts a TableGroup, a bare Table, or a bare Schema document and
+    * normalizes to a TableGroup (as the reference's `for_input` does).
+    */
+  def fromNode(n: JsonNode): TableGroupMeta = {
+    val tpe = optText(n, "@type")
+    if (n.has("tables") || tpe.contains("TableGroup")) {
+      TableGroupMeta(
+        tables = n.get("tables").elements().asScala.map(tableFrom).toList,
+        dialect = Option(n.get("dialect")).map(dialectFrom),
+        id = optText(n, "@id"),
+        inherited = inheritedFrom(n))
+    } else if (n.has("url") || tpe.contains("Table")) {
+      TableGroupMeta(tables = List(tableFrom(n)))
+    } else if (n.has("columns") || tpe.contains("Schema")) {
+      TableGroupMeta(tables = List(TableMeta(url = "", tableSchema = Some(schemaFrom(n)))))
+    } else throw new IllegalArgumentException("unrecognized CSVW metadata document")
+  }
+
+  def tableFrom(n: JsonNode): TableMeta = TableMeta(
+    url = optText(n, "url").getOrElse(""),
+    tableSchema = Option(n.get("tableSchema")).map(schemaFrom),
+    suppressOutput = optBool(n, "suppressOutput").getOrElse(false),
+    dialect = Option(n.get("dialect")).map(dialectFrom),
+    notes = Option(n.get("notes")).map(strings).getOrElse(Nil),
+    id = optText(n, "@id"),
+    inherited = inheritedFrom(n))
+
+  def schemaFrom(n: JsonNode): SchemaMeta = SchemaMeta(
+    columns = Option(n.get("columns"))
+      .map(_.elements().asScala.map(columnFrom).toList).getOrElse(Nil),
+    primaryKey = Option(n.get("primaryKey")).map(strings).getOrElse(Nil),
+    foreignKeys = Option(n.get("foreignKeys"))
+      .map(_.elements().asScala.map(fkFrom).toList).getOrElse(Nil),
+    rowTitles = Option(n.get("rowTitles")).map(strings).getOrElse(Nil),
+    inherited = inheritedFrom(n))
+
+  def columnFrom(n: JsonNode): ColumnMeta = ColumnMeta(
+    name = optText(n, "name"),
+    titles = Option(n.get("titles")).map(titleStrings).getOrElse(Nil),
+    virtual = optBool(n, "virtual").getOrElse(false),
+    suppressOutput = optBool(n, "suppressOutput").getOrElse(false),
+    inherited = inheritedFrom(n))
+
+  def fkFrom(n: JsonNode): ForeignKeyMeta = {
+    val ref = n.get("reference")
+    ForeignKeyMeta(
+      columnReference = strings(n.get("columnReference")),
+      resource = optText(ref, "resource").orElse(optText(ref, "schemaReference")).getOrElse(""),
+      referencedColumns = strings(ref.get("columnReference")))
+  }
+
+  def dialectFrom(n: JsonNode): DialectMeta = DialectMeta(
+    delimiter = optText(n, "delimiter").getOrElse(","),
+    quoteChar = optText(n, "quoteChar").getOrElse("\""),
+    doubleQuote = optBool(n, "doubleQuote").getOrElse(true),
+    encoding = optText(n, "encoding").getOrElse("utf-8"),
+    header = optBool(n, "header").getOrElse(true),
+    headerRowCount = optInt(n, "headerRowCount"),
+    skipRows = optInt(n, "skipRows").getOrElse(0),
+    skipColumns = optInt(n, "skipColumns").getOrElse(0),
+    skipBlankRows = optBool(n, "skipBlankRows").getOrElse(false),
+    skipInitialSpace = optBool(n, "skipInitialSpace").getOrElse(false),
+    trim = optText(n, "trim").orElse(optBool(n, "trim").map(_.toString)),
+    commentPrefix = optText(n, "commentPrefix"),
+    lineTerminators = Option(n.get("lineTerminators")).map(strings)
+      .getOrElse(List("\r\n", "\n")))
+
+  def inheritedFrom(n: JsonNode): Inherited = Inherited(
+    aboutUrl = optText(n, "aboutUrl"),
+    datatype = Option(n.get("datatype")).map(datatypeFrom),
+    default = optText(n, "default"),
+    lang = optText(n, "lang"),
+    nulls = Option(n.get("null")).map(strings),
+    ordered = optBool(n, "ordered"),
+    propertyUrl = optText(n, "propertyUrl"),
+    required = optBool(n, "required"),
+    separator = optText(n, "separator"),
+    textDirection = optText(n, "textDirection"),
+    valueUrl = optText(n, "valueUrl"))
+
+  def datatypeFrom(n: JsonNode): DatatypeMeta =
+    if (n.isTextual) DatatypeMeta(base = n.asText())
+    else DatatypeMeta(
+      base = optText(n, "base").getOrElse("string"),
+      format = Option(n.get("format")).map { f =>
+        if (f.isTextual) FormatSpec(pattern = Some(f.asText()))
+        else FormatSpec(
+          pattern = optText(f, "pattern"),
+          groupChar = optText(f, "groupChar"),
+          decimalChar = optText(f, "decimalChar"))
+      },
+      length = optInt(n, "length"),
+      minLength = optInt(n, "minLength"),
+      maxLength = optInt(n, "maxLength"),
+      minimum = optNumText(n, "minimum"),
+      maximum = optNumText(n, "maximum"),
+      minInclusive = optNumText(n, "minInclusive"),
+      maxInclusive = optNumText(n, "maxInclusive"),
+      minExclusive = optNumText(n, "minExclusive"),
+      maxExclusive = optNumText(n, "maxExclusive"),
+      id = optText(n, "@id"))
+
+  private def optText(n: JsonNode, f: String): Option[String] =
+    Option(n).flatMap(x => Option(x.get(f))).filter(_.isTextual).map(_.asText())
+  private def optNumText(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filter(v => v.isTextual || v.isNumber).map(_.asText())
+  private def optBool(n: JsonNode, f: String): Option[Boolean] =
+    Option(n.get(f)).filter(_.isBoolean).map(_.asBoolean())
+  private def optInt(n: JsonNode, f: String): Option[Int] =
+    Option(n.get(f)).filter(_.isNumber).map(_.asInt())
+
+  /** String or array-of-strings → list. */
+  private def strings(n: JsonNode): List[String] =
+    if (n == null) Nil
+    else if (n.isTextual) List(n.asText())
+    else if (n.isArray) n.elements().asScala.filter(_.isTextual).map(_.asText()).toList
+    else Nil
+
+  /** titles may be a string, array, or language map (`metadata.rb:1138-1139`). */
+  private def titleStrings(n: JsonNode): List[String] =
+    if (n.isTextual) List(n.asText())
+    else if (n.isArray) n.elements().asScala.filter(_.isTextual).map(_.asText()).toList
+    else if (n.isObject) n.properties().asScala.toList.flatMap(e => strings(e.getValue))
+    else Nil
+}

@@ -1,0 +1,252 @@
+package graft.model
+
+import graft.core.{Iri, Uax35Date, Uax35Number, UriTemplate, Xsd}
+
+/** CSVW metadata object model — the plain-Scala ADT equivalent of the
+  * reference's Metadata class tree (`/root/reference/lib/rdf/tabular/metadata.rb:1301-1952`),
+  * with inheritance resolved eagerly into [[ResolvedColumn]] at plan time
+  * (the reference walks the parent chain per property access,
+  * `metadata.rb:432-437`).
+  */
+final case class FormatSpec(
+    pattern: Option[String] = None,
+    groupChar: Option[String] = None,
+    decimalChar: Option[String] = None)
+
+final case class DatatypeMeta(
+    base: String = "string",
+    format: Option[FormatSpec] = None,
+    length: Option[Int] = None,
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None,
+    minimum: Option[String] = None,
+    maximum: Option[String] = None,
+    minInclusive: Option[String] = None,
+    maxInclusive: Option[String] = None,
+    minExclusive: Option[String] = None,
+    maxExclusive: Option[String] = None,
+    id: Option[String] = None)
+
+/** The 11 inherited properties (`metadata.rb:29-41`); `None` = inherit. */
+final case class Inherited(
+    aboutUrl: Option[String] = None,
+    datatype: Option[DatatypeMeta] = None,
+    default: Option[String] = None,
+    lang: Option[String] = None,
+    nulls: Option[List[String]] = None,
+    ordered: Option[Boolean] = None,
+    propertyUrl: Option[String] = None,
+    required: Option[Boolean] = None,
+    separator: Option[String] = None,
+    textDirection: Option[String] = None,
+    valueUrl: Option[String] = None) {
+  def orElse(parent: Inherited): Inherited = Inherited(
+    aboutUrl = aboutUrl.orElse(parent.aboutUrl),
+    datatype = datatype.orElse(parent.datatype),
+    default = default.orElse(parent.default),
+    lang = lang.orElse(parent.lang),
+    nulls = nulls.orElse(parent.nulls),
+    ordered = ordered.orElse(parent.ordered),
+    propertyUrl = propertyUrl.orElse(parent.propertyUrl),
+    required = required.orElse(parent.required),
+    separator = separator.orElse(parent.separator),
+    textDirection = textDirection.orElse(parent.textDirection),
+    valueUrl = valueUrl.orElse(parent.valueUrl))
+}
+
+final case class ColumnMeta(
+    name: Option[String] = None,
+    titles: List[String] = Nil,
+    virtual: Boolean = false,
+    suppressOutput: Boolean = false,
+    inherited: Inherited = Inherited())
+
+final case class ForeignKeyMeta(
+    columnReference: List[String],
+    resource: String,
+    referencedColumns: List[String])
+
+final case class SchemaMeta(
+    columns: List[ColumnMeta] = Nil,
+    primaryKey: List[String] = Nil,
+    foreignKeys: List[ForeignKeyMeta] = Nil,
+    rowTitles: List[String] = Nil,
+    inherited: Inherited = Inherited())
+
+/** CSV parsing dialect (`metadata.rb:1700-1889`), defaults per `metadata.rb:1702-1716`. */
+final case class DialectMeta(
+    delimiter: String = ",",
+    quoteChar: String = "\"",
+    doubleQuote: Boolean = true,
+    encoding: String = "utf-8",
+    header: Boolean = true,
+    headerRowCount: Option[Int] = None,
+    skipRows: Int = 0,
+    skipColumns: Int = 0,
+    skipBlankRows: Boolean = false,
+    skipInitialSpace: Boolean = false,
+    trim: Option[String] = None,
+    commentPrefix: Option[String] = None,
+    lineTerminators: List[String] = List("\r\n", "\n")) {
+  /** Dynamic default (`metadata.rb:1772-1782`). */
+  def effectiveHeaderRowCount: Int = headerRowCount.getOrElse(if (header) 1 else 0)
+  /** trim default: true unless skipInitialSpace (`metadata.rb:1778-1782`). */
+  def effectiveTrim: String = trim.getOrElse(if (skipInitialSpace) "start" else "true")
+}
+
+final case class TableMeta(
+    url: String,
+    tableSchema: Option[SchemaMeta] = None,
+    suppressOutput: Boolean = false,
+    dialect: Option[DialectMeta] = None,
+    notes: List[String] = Nil,
+    id: Option[String] = None,
+    inherited: Inherited = Inherited())
+
+final case class TableGroupMeta(
+    tables: List[TableMeta],
+    dialect: Option[DialectMeta] = None,
+    id: Option[String] = None,
+    inherited: Inherited = Inherited())
+
+// ---------------------------------------------------------------------------
+// Resolved (plan-time) forms
+// ---------------------------------------------------------------------------
+
+/** One column after full inheritance/default resolution and pattern
+  * compilation — everything per-row code needs, with no parent-chain walks
+  * and no per-row regex compilation.
+  */
+final case class ResolvedColumn(
+    name: String,
+    number: Int,                     // logical, 1-based
+    sourceNumber: Int,               // physical, 1-based (skipColumns offset)
+    datatypeBase: String,            // alias-expanded base
+    datatypeIri: String,
+    numberFormat: Option[Uax35Number.Compiled],
+    dateFormat: Option[Uax35Date.Compiled],
+    regexFormat: Option[String],     // format-as-regex for non-numeric/non-date
+    booleanFormat: Option[(String, String)], // ("T","F")
+    length: Option[Int],
+    minLength: Option[Int],
+    maxLength: Option[Int],
+    minimum: Option[String],
+    maximum: Option[String],
+    minExclusive: Option[String],
+    maxExclusive: Option[String],
+    default: String,
+    lang: String,
+    nulls: List[String],
+    ordered: Boolean,
+    required: Boolean,
+    separator: Option[String],
+    virtual: Boolean,
+    suppressOutput: Boolean,
+    aboutUrl: Option[UriTemplate.Compiled],
+    propertyUrl: Option[UriTemplate.Compiled],
+    valueUrl: Option[UriTemplate.Compiled]) extends Serializable
+
+final case class ResolvedTable(
+    url: String,
+    columns: List[ResolvedColumn],
+    primaryKey: List[String],
+    foreignKeys: List[ForeignKeyMeta],
+    rowTitles: List[String],
+    suppressOutput: Boolean,
+    dialect: DialectMeta) extends Serializable {
+  def nonVirtual: List[ResolvedColumn] = columns.filterNot(_.virtual)
+}
+
+object Resolve {
+
+  /** Inherited-property defaults (`metadata.rb:42-49`). */
+  private val Defaults = Inherited(
+    default = Some(""), lang = Some("und"), nulls = Some(List("")),
+    ordered = Some(false), required = Some(false), textDirection = Some("ltr"))
+
+  /** Column name resolution (`metadata.rb:1619-1636`): explicit name, else
+    * URI-encoded first title, else `_col.N`.
+    */
+  def columnName(c: ColumnMeta, number: Int): String =
+    c.name
+      .orElse(c.titles.headOption.map(Iri.encodeColumnName))
+      .getOrElse(s"_col.$number")
+
+  def table(tg: TableGroupMeta, t: TableMeta): ResolvedTable = {
+    val schema = t.tableSchema.getOrElse(SchemaMeta())
+    val dialect = t.dialect.orElse(tg.dialect).getOrElse(DialectMeta())
+    val skip = dialect.skipColumns
+    val cols = schema.columns.zipWithIndex.map { case (c, idx) =>
+      val number = idx + 1
+      val inh = c.inherited
+        .orElse(schema.inherited)
+        .orElse(t.inherited)
+        .orElse(tg.inherited)
+        .orElse(Defaults)
+      val dt = inh.datatype.getOrElse(DatatypeMeta())
+      val base = Xsd.canonicalBase(dt.base)
+      if (Xsd.UnsupportedBases.contains(dt.base))
+        throw new IllegalArgumentException(s"unsupported datatype: ${dt.base}")
+      val fmt = dt.format
+      val isNumeric = Xsd.NumericBases.contains(base)
+      val isDate = Xsd.DateTimeBases.contains(base)
+      val numberFormat =
+        if (isNumeric)
+          Some(Uax35Number.compile(
+            fmt.flatMap(_.pattern),
+            fmt.flatMap(_.groupChar).getOrElse(","),
+            fmt.flatMap(_.decimalChar).getOrElse(".")))
+        else None
+      val dateFormat =
+        if (isDate) fmt.flatMap(_.pattern).map(Uax35Date.compile) else None
+      val booleanFormat =
+        if (base == "boolean")
+          fmt.flatMap(_.pattern).map { p =>
+            val parts = p.split("\\|", 2)
+            (parts(0), if (parts.length > 1) parts(1) else "")
+          }
+        else None
+      val regexFormat =
+        if (!isNumeric && !isDate && base != "boolean") fmt.flatMap(_.pattern) else None
+      ResolvedColumn(
+        name = columnName(c, number),
+        number = number,
+        sourceNumber = number + skip,
+        datatypeBase = base,
+        datatypeIri = dt.id.getOrElse(Xsd.expandedIri(dt.base)),
+        numberFormat = numberFormat,
+        dateFormat = dateFormat,
+        regexFormat = regexFormat,
+        booleanFormat = booleanFormat,
+        length = dt.length,
+        minLength = dt.minLength,
+        maxLength = dt.maxLength,
+        // `minimum`/`maximum` are aliases of the inclusive facets (csvw context)
+        minimum = dt.minimum.orElse(dt.minInclusive),
+        maximum = dt.maximum.orElse(dt.maxInclusive),
+        minExclusive = dt.minExclusive,
+        maxExclusive = dt.maxExclusive,
+        default = inh.default.getOrElse(""),
+        lang = inh.lang.getOrElse("und"),
+        nulls = inh.nulls.getOrElse(List("")),
+        ordered = inh.ordered.getOrElse(false),
+        required = inh.required.getOrElse(false),
+        separator = inh.separator,
+        virtual = c.virtual,
+        suppressOutput = c.suppressOutput,
+        aboutUrl = inh.aboutUrl.map(UriTemplate.compile),
+        propertyUrl = inh.propertyUrl.map(UriTemplate.compile),
+        valueUrl = inh.valueUrl.map(UriTemplate.compile))
+    }
+    ResolvedTable(
+      url = t.url,
+      columns = cols,
+      primaryKey = schema.primaryKey,
+      foreignKeys = schema.foreignKeys,
+      rowTitles = schema.rowTitles,
+      suppressOutput = t.suppressOutput,
+      dialect = dialect)
+  }
+
+  def group(tg: TableGroupMeta): List[ResolvedTable] = tg.tables.map(t => table(tg, t))
+}
