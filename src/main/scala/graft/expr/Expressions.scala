@@ -1,0 +1,156 @@
+package graft.expr
+
+import graft.core.{Iri, UriTemplate}
+import graft.model.ResolvedColumn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime helpers invoked from generated code (kept on reference objects so
+  * the expressions stay inside whole-stage codegen as plain method calls).
+  */
+object ExprRuntime {
+
+  val cellValueType: StructType = StructType(Seq(
+    StructField("lex", StringType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
+
+  val cellType: StructType = StructType(Seq(
+    StructField("vals", ArrayType(cellValueType, containsNull = false), nullable = false),
+    StructField("errs", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("isNull", BooleanType, nullable = false)))
+}
+
+/** Helper bound into codegen for [[CsvwCellExpr]]. */
+final class CellEvaluator(val col: ResolvedColumn) extends Serializable {
+  def eval(input: UTF8String): InternalRow = {
+    val res = CellRuntime.process(col, if (input == null) null else input.toString)
+    val vals = new GenericArrayData(res.values.map { cv =>
+      InternalRow(UTF8String.fromString(cv.lex), cv.ok)
+    }.asInstanceOf[Array[Any]])
+    val errs = new GenericArrayData(res.errors.map(e => UTF8String.fromString(e)).asInstanceOf[Array[Any]])
+    InternalRow(vals, errs, res.isNull)
+  }
+}
+
+/** The per-cell CSVW pipeline as a Catalyst expression:
+  * `string → struct(vals: array<struct<lex,ok>>, errs: array<string>, isNull)`.
+  * All pattern state is plan-time-compiled inside [[ResolvedColumn]];
+  * codegen emits a single virtual call on a reference object, keeping the
+  * operator inside WholeStageCodegen.
+  */
+case class CsvwCellExpr(child: Expression, col: ResolvedColumn) extends UnaryExpression {
+  private lazy val evaluator = new CellEvaluator(col)
+
+  override def dataType: DataType = ExprRuntime.cellType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    evaluator.eval(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellEval", evaluator, classOf[CellEvaluator].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        InternalRow ${ev.value} = $ref.eval(${childGen.isNull} ? null : ${childGen.value});
+        boolean ${ev.isNull} = false;
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CsvwCellExpr =
+    copy(child = newChild)
+}
+
+/** Helper bound into codegen for [[UriTemplateExpandExpr]]. */
+final class TemplateEvaluator(
+    val template: UriTemplate.Compiled,
+    val base: String,
+    val varNames: Array[String],
+    val decodeUri: Boolean) extends Serializable {
+
+  /** values: UTF8String | ArrayData(of UTF8String) | null per varNames slot. */
+  def eval(values: Array[AnyRef]): UTF8String = {
+    val m = scala.collection.mutable.HashMap.empty[String, Any]
+    var i = 0
+    while (i < varNames.length) {
+      values(i) match {
+        case null => // undefined
+        case s: UTF8String => m.put(varNames(i), s.toString)
+        case a: ArrayData =>
+          m.put(varNames(i), a.toObjectArray(StringType)
+            .map(x => if (x == null) "" else x.toString).toSeq)
+        case other => m.put(varNames(i), other.toString)
+      }
+      i += 1
+    }
+    var expanded = template.expand(m)
+    if (decodeUri) expanded = Iri.pctDecode(expanded)
+    UTF8String.fromString(Iri.expand(base, expanded))
+  }
+}
+
+/** RFC 6570 template expansion + document-relative IRI resolution
+  * (`/root/reference/lib/rdf/tabular/metadata.rb:1958-1971`) as a codegen'd
+  * N-ary expression. Children must be string or array<string> columns, in
+  * `varNames` order. Template/base parsed once at plan time.
+  */
+case class UriTemplateExpandExpr(
+    children: Seq[Expression],
+    varNames: Seq[String],
+    template: UriTemplate.Compiled,
+    base: String,
+    decodeUri: Boolean = false) extends Expression {
+
+  require(children.length == varNames.length)
+  private lazy val evaluator =
+    new TemplateEvaluator(template, base, varNames.toArray, decodeUri)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any =
+    evaluator.eval(children.map(_.eval(input).asInstanceOf[AnyRef]).toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tmplEval", evaluator, classOf[TemplateEvaluator].getName)
+    val gens = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("tmplArgs")
+    val fills = gens.zipWithIndex.map { case (g, i) =>
+      s"$arr[$i] = ${g.isNull} ? null : (Object) ${g.value};"
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        ${gens.map(_.code).reduceOption(_ + _).getOrElse(code"")}
+        Object[] $arr = new Object[${children.length}];
+        $fills
+        UTF8String ${ev.value} = $ref.eval($arr);
+        boolean ${ev.isNull} = false;
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): UriTemplateExpandExpr =
+    copy(children = newChildren)
+}
+
+/** Column-API entry points for the custom expressions. */
+object CsvwFunctions {
+  import org.apache.spark.sql.GraftBridge
+
+  def csvwCell(c: Column, col: ResolvedColumn): Column =
+    GraftBridge.column(CsvwCellExpr(GraftBridge.expression(c), col))
+
+  def uriTemplate(template: UriTemplate.Compiled, base: String,
+                  vars: Seq[(String, Column)], decodeUri: Boolean = false): Column =
+    GraftBridge.column(UriTemplateExpandExpr(
+      vars.map(v => GraftBridge.expression(v._2)), vars.map(_._1), template, base, decodeUri))
+}
