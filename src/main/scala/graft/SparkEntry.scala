@@ -1,13 +1,588 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{AnnFunctions, DedupFunctions, Multimodal, TextFunctions}
+import graft.link.{ConnectedComponents, EntityLink}
+import graft.mapper.{TripleMapper, Vocab}
+import graft.model.{CsvwJson, Resolve, ResolvedTable}
+import graft.sources.TranscriptGen
+import graft.validate.Validations
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), with DuckDB oracle
+  * SQL where the semantics are ANSI-expressible. Names reference SURVEY §2
+  * operator ids.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- plumbing
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The FIXTURES.md §2.2 "full mapping" over the transcript shape. */
+  private val transcriptMappingJson = """{
+    "url": "http://example.org/transcripts",
+    "tableSchema": {
+      "aboutUrl": "urn:conv:{conv_id}/turn/{turn_idx}",
+      "propertyUrl": "https://example.org/transcript#{_name}",
+      "primaryKey": ["conv_id", "turn_idx"],
+      "columns": [
+        {"name": "conv_id", "datatype": "string"},
+        {"name": "turn_idx", "datatype": "integer"},
+        {"name": "role", "datatype": "string"},
+        {"name": "text", "datatype": "string"},
+        {"name": "tool", "datatype": "string", "null": [""]},
+        {"name": "ts", "datatype": {"base": "dateTime"}}
+      ]
+    }
+  }"""
+  lazy val transcriptTable: ResolvedTable =
+    Resolve.group(CsvwJson.parseTableGroup(transcriptMappingJson)).head
+
+  /** Transcript-shaped rows derived deterministically from `events`
+    * (SQL-replicable in the oracle — [[TranscriptGen.fromEventsSql]]).
+    */
+  private def transcripts(s: SparkSession, dir: String): DataFrame =
+    TranscriptGen.fromEvents(s, dir)
+
+  private def transcriptInputs(df: DataFrame): Map[String, org.apache.spark.sql.Column] = Map(
+    "conv_id" -> col("conv_id"), "turn_idx" -> col("turn_idx"),
+    "role" -> col("role"), "text" -> col("text"), "tool" -> col("tool"),
+    "ts" -> date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+
+  /** Minimal-mode transcript triples (T1/F9/F2 pipeline). */
+  def transcriptTriples(s: SparkSession, dir: String, minimal: Boolean): DataFrame = {
+    val tr = transcripts(s, dir)
+    val rows = TripleMapper.triples(
+      tr, transcriptTable, transcriptInputs(tr),
+      skolem = concat(col("conv_id"), lit("-"), col("turn_idx")),
+      rownum = col("turn_idx") + 1,
+      sourceNum = col("turn_idx") + 1,
+      minimal = minimal)
+    if (minimal) rows
+    else {
+      import s.implicits._
+      rows.unionByName(TripleMapper.boilerplate(transcriptTable).toDF(
+        "subj", "pred", "obj", "obj_iri", "lang", "dtype"))
+    }
+  }
+
+  private val P = "https://example.org/transcript#"
+  private val X = "http://www.w3.org/2001/XMLSchema#"
+
+  /** Oracle CTE prefix shared by transcript queries. */
+  private def trCte = s"WITH ${TranscriptGen.fromEventsSql}"
+
+  /** Oracle SQL equivalent of the minimal-mode transcript triples. */
+  private val minimalTriplesSelect: String = {
+    def sel(pred: String, obj: String, dtype: String, extra: String = "") =
+      s"""SELECT 'urn:conv:' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS subj,
+         |  '$P$pred' AS pred, $obj AS obj, FALSE AS obj_iri,
+         |  CAST(NULL AS VARCHAR) AS lang, $dtype AS dtype FROM transcripts $extra""".stripMargin
+    Seq(
+      sel("conv_id", "conv_id", "CAST(NULL AS VARCHAR)"),
+      sel("turn_idx", "CAST(turn_idx AS VARCHAR)", s"'${X}integer'"),
+      sel("role", "role", "CAST(NULL AS VARCHAR)"),
+      sel("text", "text", "CAST(NULL AS VARCHAR)"),
+      sel("tool", "tool", "CAST(NULL AS VARCHAR)", "WHERE tool <> ''"),
+      sel("ts", "strftime(ts, '%Y-%m-%dT%H:%M:%S')", s"'${X}dateTime'")
+    ).mkString("\n UNION ALL \n")
+  }
+
+  // ------------------------------------------------------------------ entry
+
+  /** Flagship: the full KG construction slice on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    transcriptTriples(spark, "/root/testdata/sf0.001", minimal = true)
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- generic relational coverage (S1 scan, A*, J*, W1, sorts)
+    "q1_agg" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).as("sum_price"),
+        count(lit(1)).as("n"))),
+
+    "q2_join_broadcast" -> ((s, d) => t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("revenue"),
+           count(lit(1)).as("n_orders"))),
+
+    "q3_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // RANGE frame: (l_orderkey, l_linenumber) is not unique in the
+      // synthetic data, so a ROWS frame would be tie-order-ambiguous
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy((col("l_orderkey") * 10 + col("l_linenumber")).as("ok"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(18,6)")).over(w).as("running_qty"))
+    }),
+
+    "q4_sort_limit" -> ((s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)),
+
+    // ---- KG construction (T1-T3, F2, F9, W1)
+    "t1_triples_minimal" -> ((s, d) => transcriptTriples(s, d, minimal = true)),
+    "t3_triples_standard" -> ((s, d) => transcriptTriples(s, d, minimal = false)),
+
+    "t2_rdf_list" -> ((s, d) => {
+      // ordered list over first-3-token tags of documents (T2)
+      val json = """{
+        "url": "http://example.org/docs",
+        "tableSchema": {
+          "aboutUrl": "urn:doc:{doc_id}",
+          "columns": [
+            {"name": "doc_id", "datatype": "string", "suppressOutput": true},
+            {"name": "tags", "separator": ";", "ordered": true, "datatype": "string"}
+          ]
+        }
+      }"""
+      val tbl = Resolve.group(CsvwJson.parseTableGroup(json)).head
+      val docs = t(s, d, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        concat_ws(";", slice(split(col("text"), " "), 1, 3)).as("tags"))
+      TripleMapper.triples(docs, tbl,
+        Map("doc_id" -> col("doc_id"), "tags" -> col("tags")),
+        skolem = col("doc_id"), rownum = col("doc_id"), sourceNum = col("doc_id"))
+    }),
+
+    "w1_turn_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      transcripts(s, d).select(col("conv_id"), col("turn_idx"),
+        row_number().over(Window.partitionBy(col("conv_id"))
+          .orderBy(col("turn_idx"))).as("rn"))
+    }),
+
+    // ---- validations (A1, A2, J1) + per-turn invariant
+    "a1_pk_duplicates" -> ((s, d) =>
+      Validations.pkDuplicates(t(s, d, "lineitem"), Seq("l_orderkey"))),
+
+    "a2_fk_dup_targets" -> ((s, d) =>
+      Validations.fkDuplicateTargets(t(s, d, "supplier"), Seq("s_nationkey"))),
+
+    "j1_fk_violations" -> ((s, d) =>
+      Validations.fkViolations(
+        transcripts(s, d).select((regexp_replace(col("conv_id"), "^c", "")).cast("long").as("user_id")),
+        Seq("user_id"),
+        t(s, d, "customer"), Seq("c_custkey")).dropDuplicates()),
+
+    "v1_turn_invariant" -> ((s, d) =>
+      Validations.turnTextConsistency(transcripts(s, d))),
+
+    // ---- per-cell scalar functions (F2-F4, F9)
+    "f2_datatype_facets" -> ((s, d) => {
+      val json = """{"url":"http://e/t","tableSchema":{"columns":[
+        {"name":"v","datatype":{"base":"integer","minimum":1000}}]}}"""
+      val tbl = Resolve.group(CsvwJson.parseTableGroup(json)).head
+      val df = t(s, d, "lineitem").select(col("l_orderkey").cast("string").as("v")).dropDuplicates()
+      df.withColumn("__c", graft.expr.CsvwFunctions.csvwCell(col("v"), tbl.columns.head))
+        .select(col("v"),
+          element_at(col("__c.vals"), 1).getField("ok").as("ok"),
+          (size(col("__c.errs")) > 0).as("has_error"))
+    }),
+
+    "f4_uax35_date" -> ((s, d) => {
+      val json = """{"url":"http://e/t","tableSchema":{"columns":[
+        {"name":"v","datatype":{"base":"date","format":"d/M/yyyy"}}]}}"""
+      val tbl = Resolve.group(CsvwJson.parseTableGroup(json)).head
+      val df = t(s, d, "lineitem")
+        .select(date_format(col("l_shipdate"), "d/M/yyyy").as("v")).dropDuplicates()
+      df.withColumn("__c", graft.expr.CsvwFunctions.csvwCell(col("v"), tbl.columns.head))
+        .select(col("v"), element_at(col("__c.vals"), 1).getField("lex").as("canonical"))
+    }),
+
+    "f3_uax35_number" -> ((s, d) => {
+      // '%'-suffixed integers through the default numeric pattern: decimal shift
+      val json = """{"url":"http://e/t","tableSchema":{"columns":[
+        {"name":"v","datatype":"number"}]}}"""
+      val tbl = Resolve.group(CsvwJson.parseTableGroup(json)).head
+      val df = t(s, d, "lineitem")
+        .select(concat(round(col("l_discount") * 100).cast("int").cast("string"), lit("%")).as("v"))
+        .dropDuplicates()
+      df.withColumn("__c", graft.expr.CsvwFunctions.csvwCell(col("v"), tbl.columns.head))
+        .select(col("v"), element_at(col("__c.vals"), 1).getField("lex").as("canonical"))
+    }),
+
+    "f9_uri_template" -> ((s, d) => {
+      val tmpl = graft.core.UriTemplate.compile("http://example.org/region/{r_name}{?id}")
+      t(s, d, "region").select(col("r_name"),
+        graft.expr.CsvwFunctions.uriTemplate(tmpl, "http://example.org/",
+          Seq("r_name" -> col("r_name"), "id" -> col("r_regionkey").cast("string"))).as("iri"))
+    }),
+
+    // ---- graph stages (J3, J4, materialize)
+    "j3_entity_link" -> ((s, d) => {
+      import s.implicits._
+      val dict = Seq(
+        ("e_customer", "customer"), ("e_order", "order"), ("e_part", "part"),
+        ("e_line", "line"), ("e_spark", "spark")).toDF("entity_id", "surface")
+      EntityLink.mentions(t(s, d, "documents"), dict, "doc_id", "text")
+        .select(col("doc_id"), col("mention"), col("entity_id")).dropDuplicates()
+    }),
+
+    "j4_connected_components" -> ((s, d) => {
+      import s.implicits._
+      val dict = Seq(("e_vector", "vector"), ("e_stream", "stream"), ("e_merge", "merge"))
+        .toDF("entity_id", "surface")
+      val docs = t(s, d, "documents").filter(col("doc_id") < 60)
+      val m = EntityLink.mentions(docs, dict, "doc_id", "text")
+        .select(col("doc_id").cast("string").as("doc_id"), col("entity_id"))
+      val edges = EntityLink.candidateEdges(m, "doc_id")
+      ConnectedComponents.run(s, edges)
+    }),
+
+    "g1_graph_materialize" -> ((s, d) => {
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      transcriptTriples(s, d, minimal = true)
+        .repartition(n, col("subj"), col("pred"), col("obj"))
+        .dropDuplicates(Seq("subj", "pred", "obj"))
+        .sortWithinPartitions("subj", "pred", "obj")
+    }),
+
+    // ---- dedup suite (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding)
+    "d1_dedup_exact" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), md5(regexp_replace(lower(trim(col("props"))), "\\s+", " ")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("dup_count"), min("event_id").as("keeper_id"))
+        .filter(col("dup_count") > 1)),
+
+    "d2_minhash_lsh" -> ((s, d) =>
+      DedupFunctions.minhashDupPairs(t(s, d, "documents"), "doc_id", "text",
+        bands = 8, rowsPerBand = 4, threshold = 0.5)),
+
+    "d3_simhash" -> ((s, d) =>
+      DedupFunctions.simhashDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)),
+
+    "d4_ngram_jaccard" -> ((s, d) =>
+      DedupFunctions.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.12)),
+
+    "d5_embedding_dup" -> ((s, d) =>
+      DedupFunctions.embeddingDupPairs(
+        t(s, d, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding")),
+        "vec_id", "embedding", threshold = 0.93)),
+
+    // ---- similarity search (brute-force + LSH)
+    "s1_ann_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      AnnFunctions.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
+
+    "s2_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      AnnFunctions.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding", k = 5)
+    }),
+
+    // ---- text analysis
+    "x1_lang_id" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    "x2_text_stats" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      TextFunctions.tokenCountWs(col("text")).as("n_tok"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("alpha_chars"))),
+
+    "x3_quality_score" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    "x4_fingerprint" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))),
+
+    // ---- multimodal plumbing (stubbed decode)
+    "m1_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodePipeline(s, t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"), col("n_frames"))),
+
+    // ---- streaming ingest (file source → watermark window agg → memory sink)
+    "str1_stream_counts" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      transcripts(s, d).write.mode("overwrite").parquet(tmp)
+      val q = graft.streaming.TranscriptStream.turnCounts(
+          graft.streaming.TranscriptStream.readStream(s, tmp))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_stream_counts").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_counts").select(
+        date_format(col("window.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
+        col("conv_id"), col("turns"))
+    }),
+
+    // ---- CSV dialect scan (S1 exact semantics; rows-only check)
+    "s3_csv_dialect" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempFile("graft_dialect", ".csv")
+      val rows = t(s, d, "region").select(col("r_regionkey").cast("long"), col("r_name"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => s"${r.getLong(0)};${r.getString(1)}")
+      val content = "# generated\nkey;name\n" + rows.mkString("\n")
+      java.nio.file.Files.writeString(tmp, content)
+      val dialect = graft.model.DialectMeta(delimiter = ";", commentPrefix = Some("#"))
+      graft.sources.CsvDialectSource.readExact(s, tmp.toString, dialect).rows
+    }))
+
+  // -------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q3_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_orderkey * 10 + l_linenumber
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem""".stripMargin,
+
+    "q4_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "t1_triples_minimal" -> s"$trCte\n$minimalTriplesSelect",
+
+    "t3_triples_standard" -> {
+      val C = "http://www.w3.org/ns/csvw#"
+      val R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      s"""$trCte, rowres AS (
+         |  SELECT conv_id, turn_idx,
+         |    '_:r' || conv_id || '-' || CAST(turn_idx AS VARCHAR) AS rr,
+         |    'urn:conv:' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS about
+         |  FROM transcripts)
+         |$minimalTriplesSelect
+         | UNION ALL
+         |SELECT '_:table1', '${C}row', rr, TRUE, NULL, NULL FROM rowres
+         | UNION ALL
+         |SELECT rr, '${C}rownum', CAST(turn_idx + 1 AS VARCHAR), FALSE, NULL, '${X}integer' FROM rowres
+         | UNION ALL
+         |SELECT rr, '${R}type', '${C}Row', TRUE, NULL, NULL FROM rowres
+         | UNION ALL
+         |SELECT rr, '${C}url', 'http://example.org/transcripts#row=' || CAST(turn_idx + 1 AS VARCHAR), TRUE, NULL, NULL FROM rowres
+         | UNION ALL
+         |SELECT rr, '${C}describes', about, TRUE, NULL, NULL FROM rowres
+         | UNION ALL
+         |SELECT '_:tg', '${R}type', '${C}TableGroup', TRUE, NULL, NULL
+         | UNION ALL
+         |SELECT '_:tg', '${C}table', '_:table1', TRUE, NULL, NULL
+         | UNION ALL
+         |SELECT '_:table1', '${R}type', '${C}Table', TRUE, NULL, NULL
+         | UNION ALL
+         |SELECT '_:table1', '${C}url', 'http://example.org/transcripts', TRUE, NULL, NULL""".stripMargin
+    },
+
+    "t2_rdf_list" -> {
+      val R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      s"""WITH toks AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id,
+         |    list_slice(string_split(text, ' '), 1, 3) AS tags
+         |  FROM documents)
+         |SELECT 'urn:doc:' || id AS subj, 'http://example.org/docs#tags' AS pred,
+         |  '_:l' || id || '.tags.0' AS obj, TRUE AS obj_iri,
+         |  CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype FROM toks
+         | UNION ALL
+         |SELECT '_:l' || id || '.tags.' || CAST(i - 1 AS VARCHAR), '${R}first',
+         |  tags[i], FALSE, NULL, NULL
+         |FROM toks, generate_series(1, 3) AS g(i)
+         | UNION ALL
+         |SELECT '_:l' || id || '.tags.' || CAST(i - 1 AS VARCHAR), '${R}rest',
+         |  CASE WHEN i = 3 THEN '${R}nil' ELSE '_:l' || id || '.tags.' || CAST(i AS VARCHAR) END,
+         |  TRUE, NULL, NULL
+         |FROM toks, generate_series(1, 3) AS g(i)""".stripMargin
+    },
+
+    "w1_turn_order" ->
+      s"""$trCte
+         |SELECT conv_id, turn_idx,
+         |  row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+         |FROM transcripts""".stripMargin,
+
+    "a1_pk_duplicates" ->
+      """SELECT l_orderkey, count(*) AS dup_count FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) > 1""".stripMargin,
+
+    "a2_fk_dup_targets" ->
+      """SELECT s_nationkey, count(*) AS dup_count FROM supplier
+        |GROUP BY s_nationkey HAVING count(*) > 1""".stripMargin,
+
+    "j1_fk_violations" ->
+      s"""$trCte
+         |SELECT DISTINCT CAST(regexp_replace(conv_id, '^c', '') AS BIGINT) AS user_id
+         |FROM transcripts
+         |WHERE NOT EXISTS (SELECT 1 FROM customer
+         |                  WHERE c_custkey = CAST(regexp_replace(conv_id, '^c', '') AS BIGINT))""".stripMargin,
+
+    "v1_turn_invariant" ->
+      s"""$trCte
+         |SELECT conv_id, turn_idx, count(DISTINCT text) AS n_texts FROM transcripts
+         |GROUP BY conv_id, turn_idx HAVING count(DISTINCT text) > 1""".stripMargin,
+
+    "f2_datatype_facets" ->
+      """SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v,
+        |  l_orderkey >= 1000 AS ok,
+        |  l_orderkey < 1000 AS has_error
+        |FROM lineitem""".stripMargin,
+
+    "f4_uax35_date" ->
+      """SELECT DISTINCT strftime(l_shipdate, '%-d/%-m/%Y') AS v,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS canonical
+        |FROM lineitem""".stripMargin,
+
+    "f3_uax35_number" ->
+      """SELECT DISTINCT CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR) || '%' AS v,
+        |  CASE length(CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR))
+        |    WHEN 1 THEN '0.0' || CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)
+        |    WHEN 2 THEN '0.' || CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)
+        |    ELSE NULL END AS canonical
+        |FROM lineitem""".stripMargin,
+
+    "f9_uri_template" ->
+      """SELECT r_name,
+        |  'http://example.org/region/' || replace(r_name, ' ', '%20')
+        |    || '?id=' || CAST(r_regionkey AS VARCHAR) AS iri
+        |FROM region""".stripMargin,
+
+    "j3_entity_link" ->
+      """WITH dict(entity_id, surface) AS (VALUES
+        |  ('e_customer','customer'),('e_order','order'),('e_part','part'),
+        |  ('e_line','line'),('e_spark','spark')),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents)
+        |SELECT DISTINCT doc_id, tok AS mention, entity_id
+        |FROM toks JOIN dict ON tok = surface WHERE length(tok) > 1""".stripMargin,
+
+    "j4_connected_components" ->
+      """WITH RECURSIVE dict(entity_id, surface) AS (VALUES
+        |  ('e_vector','vector'),('e_stream','stream'),('e_merge','merge')),
+        |toks AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |m AS (SELECT DISTINCT id, entity_id FROM toks JOIN dict ON tok = surface WHERE length(tok) > 1),
+        |e0 AS (SELECT a.id AS src, b.id AS dst FROM m a JOIN m b USING (entity_id) WHERE a.id < b.id),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT src AS a, dst AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        |)
+        |SELECT id, least(id, min(b)) AS component
+        |FROM nodes LEFT JOIN reach r ON r.a = id
+        |GROUP BY id""".stripMargin,
+
+    "g1_graph_materialize" ->
+      s"$trCte SELECT DISTINCT * FROM (\n$minimalTriplesSelect\n)",
+
+    "d1_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(props)), '\s+', ' ', 'g')) AS fp,
+        |  count(*) AS dup_count, min(event_id) AS keeper_id
+        |FROM events GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok, t.pos FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS tok,
+        |      generate_subscripts(string_split_regex(lower(text), '[^a-z0-9'']+'), 1) AS pos
+        |    FROM documents) t(doc_id, tok, pos) WHERE length(tok) > 0),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE i / (na.n + nb.n - i) >= 0.12""".stripMargin,
+
+    "s1_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    list_cosine_similarity(q.e, c.e) AS cos
+        |  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "x1_lang_id" -> {
+      val langs = Map(
+        "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "was", "for", "on", "are", "with", "they", "this"),
+        "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "auf", "für", "sie", "den", "von", "zu"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "je", "pas", "un", "une", "avec", "pour", "que", "des", "dans", "il"),
+        "es" -> Seq("el", "la", "los", "las", "y", "es", "yo", "no", "un", "una", "con", "para", "que", "de", "en"))
+      val hitExprs = langs.toSeq.sortBy(_._1).map { case (l, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"count(DISTINCT tok) FILTER (tok IN ($inList)) AS hits_$l"
+      }.mkString(",\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS tok
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |    $hitExprs
+         |  FROM toks WHERE length(tok) > 0 GROUP BY doc_id),
+         |unp AS (
+         |  SELECT doc_id, lang, hits FROM hits
+         |  UNPIVOT (hits FOR lang IN (hits_de AS 'de', hits_en AS 'en', hits_es AS 'es', hits_fr AS 'fr'))),
+         |best AS (
+         |  SELECT doc_id, lang, hits,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+         |  FROM unp)
+         |SELECT doc_id, CASE WHEN hits >= 2 THEN lang ELSE 'und' END AS lang_pred
+         |FROM best WHERE rn = 1""".stripMargin
+    },
+
+    "x2_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> length(t) > 0)) AS n_tok,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+        |FROM documents""".stripMargin,
+
+    "x4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "str1_stream_counts" ->
+      s"""$trCte
+         |SELECT strftime(date_trunc('minute', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
+         |  conv_id, count(*) AS turns
+         |FROM transcripts GROUP BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column. Brute-force cosine top-k is the exact baseline; the scale path is
+  * sign-sketch (random-hyperplane LSH) bucketing, with hyperplanes derived
+  * from seeded hashes so signatures are deterministic and shippable as pure
+  * expressions.
+  */
+object AnnFunctions {
+
+  /** Codegen'd dot product via zip_with + aggregate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane sign sketch: bit j = sign(Σ_i e[i]·h(i,j)) with
+    * h(i,j) = ±1 from xxhash64(i,j). Deterministic; `planes` bits packed
+    * into a long.
+    */
+  def signSketch(emb: Column, planes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), j => {
+      val s = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (v, i) => v * (xxhash64(i, j).bitwiseAND(1L) * 2L - 1L).cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+      when(s > 0, 1L).otherwise(0L)
+    })
+    aggregate(bits, lit(0L), (acc, b) => call_function("shiftleft", acc, lit(1)).bitwiseOR(b))
+  }
+
+  /** Exact brute-force cosine top-k: queries × corpus join + window top-k.
+    * Correctness baseline — O(|Q|·|C|); broadcast the smaller side.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qId: String, cId: String, embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"))
+    val scored = q.crossJoin(broadcast(c))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates restricted to sign-sketch buckets
+    * (multi-probe: exact bucket plus 1-bit flips), then exact re-rank. At
+    * 100 TB this replaces the cross join with a bucket equi-join whose
+    * shuffle is proportional to bucket occupancy.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, cId: String, embCol: String, k: Int,
+              planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cS = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"),
+      signSketch(col(embCol), planes).as("bucket"))
+    // multi-probe: original sketch + all single-bit flips
+    val probes = transform(sequence(lit(0), lit(planes)), i => {
+      val base = signSketch(col(embCol), planes)
+      when(i === 0, base).otherwise(base.bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int") - 1)))
+    })
+    val qS = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"),
+      explode(probes).as("bucket"))
+    qS.join(cS, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+}

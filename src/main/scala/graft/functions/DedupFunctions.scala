@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup. Signatures are pure
+  * Catalyst expressions (deterministic seeded hashes — no RNG state to ship);
+  * candidate generation is bucket-join (band hash / shared shingle), never
+  * an all-pairs cross join, so the shuffles stay proportional to bucket
+  * sizes at 100 TB.
+  */
+object DedupFunctions {
+
+  /** Exact duplicate groups by normalized-content fingerprint: one hash
+    * shuffle with map-side partial aggregation.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("dup_count"),
+           sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("dup_count") > 1)
+
+  /** MinHash signature: k independent permutations approximated by seeded
+    * xxhash64; sig[k] = min over shingles of hash(shingle, k).
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    val sh = array_distinct(TextFunctions.shingles(text, shingleSize))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(sh, s => xxhash64(s, k))))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * hash each band → (doc, band_idx, band_hash). Docs sharing any band
+    * bucket are candidates.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+               bands: Int, rowsPerBand: Int, shingleSize: Int = 3): DataFrame = {
+    val sig = minhashSignature(col(textCol), bands * rowsPerBand, shingleSize)
+    df.select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+      .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard from
+    * full signatures. Join is per-bucket (band_idx, band_hash) — skew-safe
+    * under AQE; pairs deduped across bands.
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 8, rowsPerBand: Int = 4,
+                      shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), bands * rowsPerBand, shingleSize).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), x => x))
+      .cast("double") / lit(bands * rowsPerBand)
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens — pure expression: per bit, sum ±1 weighted
+    * by the token-hash bit, then pack the sign bits.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(aggregate(toks, lit(0L),
+        (acc, t) => acc + (call_function("shiftright", xxhash64(t), i.cast("int")).bitwiseAND(1L) * 2L - 1L)) > 0, 1L).otherwise(0L))
+    // bitwise shift, not acc*2: packing the top bit would overflow a signed
+    // long under ANSI mode
+    aggregate(bits, lit(0L), (acc, b) => call_function("shiftleft", acc, lit(1)).bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit chunks (a pair within
+    * Hamming distance ≤3 of 64 bits shares at least one exact chunk for
+    * distance ≤3 when split into 4 — pigeonhole), verify with bit_count.
+    */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val chunked = withSim.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("sim"), i.cast("int") * 16).bitwiseAND(0xffffL)))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDist(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs sharing at least one
+    * shingle (bucket join on shingle hash, count-based estimator:
+    * |A∩B| via shared-shingle count, |A∪B| = |A|+|B|−|A∩B|).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh2"),
+        col("sh") === col("sh2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding cosine near-dup pairs above a similarity threshold, blocked by
+    * sign-sketch buckets (random-hyperplane LSH via seeded hashes) to avoid
+    * the full cross join.
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, embCol: String,
+                        threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+    val emb = col(embCol)
+    val sketch = AnnFunctions.signSketch(emb, planes)
+    val withS = df.select(col(idCol).as("id"), emb.as("e"), sketch.as("bucket"))
+    val a = withS.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"))
+    val b = withS.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        AnnFunctions.cosine(col("e_a"), col("e_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -174,11 +174,20 @@ object TripleMapper {
         case None =>
           transform(vals(c), v => litTr(c, about, pred, v)).cast(tripleArray)
       }
-      val withDescribes =
-        if (minimal) entity
-        else concat(array(iriTr(rowRes, lit(Vocab.Csvw + "describes"), about)), entity)
-      Some(withDescribes)
+      Some(entity)
     }
+
+    // standard mode: one csvw:describes per *distinct* cell subject
+    // (the reference emits one per cell, reader.rb:328, but RDF graph set
+    // semantics collapse them; emitting distinct keeps row output exact)
+    val describesTriples: Option[Column] =
+      if (minimal) None
+      else {
+        val subjects = array_distinct(array(
+          cols.filterNot(_.suppressOutput).map(c => aboutOf(c).cast("string")): _*))
+        Some(transform(subjects,
+          a => iriTr(rowRes, lit(Vocab.Csvw + "describes"), a)).cast(tripleArray))
+      }
 
     // standard-mode row-level triples (reader.rb:301-311)
     val rowTriples: Option[Column] =
@@ -200,7 +209,8 @@ object TripleMapper {
         Some(titleTrs.foldLeft(fixed)((acc, t) => concat(acc, t)))
       }
 
-    val allParts: Seq[Column] = rowTriples.toSeq ++ cols.flatMap(columnTriples)
+    val allParts: Seq[Column] =
+      rowTriples.toSeq ++ describesTriples.toSeq ++ cols.flatMap(columnTriples)
     val all = flatten(array(allParts: _*))
 
     val exploded = staged

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.model.ResolvedTable
+import graft.mapper.TripleMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingest for the transcript→triple pipeline: new
+  * transcript files/partitions stream through the same expression-compiled
+  * mapper (the mapper is stateless per row, so it lifts onto a streaming
+  * DataFrame unchanged). Windowed per-conversation counts demonstrate
+  * watermarked stateful aggregation for pipeline monitoring.
+  *
+  * The reference is batch-only (SURVEY.md §2.9) — this is the incremental
+  * path the north rule's snapshot-resume implies.
+  */
+object TranscriptStream {
+
+  val transcriptSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("role", StringType),
+    StructField("text", StringType),
+    StructField("tool", StringType),
+    StructField("ts", TimestampType)))
+
+  /** File-source streaming read of transcript parquet drops. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(transcriptSchema).parquet(dir)
+
+  /** Map a (streaming or batch) transcript frame to triples. Row numbering
+    * in streaming mode uses turn_idx directly (no window over unbounded
+    * input); skolemization is already (conv_id, turn_idx)-deterministic.
+    */
+  def triples(stream: DataFrame, table: ResolvedTable): DataFrame =
+    TripleMapper.triples(
+      stream.withColumn("ts_lex", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss")),
+      table,
+      inputs = Map(
+        "conv_id" -> col("conv_id"), "turn_idx" -> col("turn_idx"),
+        "role" -> col("role"), "text" -> col("text"), "tool" -> col("tool"),
+        "ts" -> col("ts_lex")),
+      skolem = concat(col("conv_id"), lit("-"), col("turn_idx")),
+      rownum = col("turn_idx") + 1,
+      sourceNum = col("turn_idx") + 1)
+
+  /** Watermarked per-conversation turn counts in 1-minute windows. */
+  def turnCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("conv_id"))
+      .agg(count(lit(1)).as("turns"))
+}
