@@ -27,8 +27,12 @@ object DedupFunctions {
     */
   def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
     val sh = array_distinct(TextFunctions.shingles(text, shingleSize))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(sh, s => xxhash64(s, k))))
+    // single pass over shingles maintaining all k minima — the shingle
+    // subtree appears once in the plan instead of k times
+    aggregate(sh,
+      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, k) => least(m, xxhash64(s, k))))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
@@ -50,8 +54,13 @@ object DedupFunctions {
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       bands: Int = 8, rowsPerBand: Int = 4,
                       shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+    // materialize signatures before the self-join: otherwise both join sides
+    // re-derive the (large) signature expression tree, which blows up
+    // codegen and recomputes shingling twice. At warehouse scale this is a
+    // signatures table write; locally localCheckpoint is the same cut.
     val withSig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), bands * rowsPerBand, shingleSize).as("sig"))
+      .localCheckpoint()
     val banded = withSig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
@@ -90,6 +99,7 @@ object DedupFunctions {
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+      .localCheckpoint()
     val chunked = withSim.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftright", col("sim"), i.cast("int") * 16).bitwiseAND(0xffffL)))
@@ -112,6 +122,7 @@ object DedupFunctions {
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
+      .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh2"),
         col("sh") === col("sh2") && col("id_a") < col("id_b"))
@@ -133,6 +144,7 @@ object DedupFunctions {
     val emb = col(embCol)
     val sketch = AnnFunctions.signSketch(emb, planes)
     val withS = df.select(col(idCol).as("id"), emb.as("e"), sketch.as("bucket"))
+      .localCheckpoint()
     val a = withS.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"))
     val b = withS.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"))
     a.join(b, Seq("bucket"))

@@ -24,7 +24,8 @@ object CsvwJson {
         tables = n.get("tables").elements().asScala.map(tableFrom).toList,
         dialect = Option(n.get("dialect")).map(dialectFrom),
         id = optText(n, "@id"),
-        inherited = inheritedFrom(n))
+        inherited = inheritedFrom(n),
+        common = commonFrom(n))
     } else if (n.has("url") || tpe.contains("Table")) {
       TableGroupMeta(tables = List(tableFrom(n)))
     } else if (n.has("columns") || tpe.contains("Schema")) {
@@ -39,7 +40,15 @@ object CsvwJson {
     dialect = Option(n.get("dialect")).map(dialectFrom),
     notes = Option(n.get("notes")).map(strings).getOrElse(Nil),
     id = optText(n, "@id"),
-    inherited = inheritedFrom(n))
+    inherited = inheritedFrom(n),
+    common = commonFrom(n))
+
+  /** Common properties: any key containing ':' plus `notes`
+    * (`metadata.rb:923-981` / `reader.rb:186-192`). */
+  def commonFrom(n: JsonNode): List[(String, String)] =
+    n.properties().asScala.toList
+      .filter(e => e.getKey.contains(":") || e.getKey == "notes")
+      .map(e => e.getKey -> e.getValue.toString)
 
   def schemaFrom(n: JsonNode): SchemaMeta = SchemaMeta(
     columns = Option(n.get("columns"))

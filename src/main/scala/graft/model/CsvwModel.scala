@@ -101,13 +101,16 @@ final case class TableMeta(
     dialect: Option[DialectMeta] = None,
     notes: List[String] = Nil,
     id: Option[String] = None,
-    inherited: Inherited = Inherited())
+    inherited: Inherited = Inherited(),
+    /** common properties: (prefixed key or "notes") -> raw JSON (T4) */
+    common: List[(String, String)] = Nil)
 
 final case class TableGroupMeta(
     tables: List[TableMeta],
     dialect: Option[DialectMeta] = None,
     id: Option[String] = None,
-    inherited: Inherited = Inherited())
+    inherited: Inherited = Inherited(),
+    common: List[(String, String)] = Nil)
 
 // ---------------------------------------------------------------------------
 // Resolved (plan-time) forms

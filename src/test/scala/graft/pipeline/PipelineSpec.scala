@@ -1,0 +1,228 @@
+package graft.pipeline
+
+import graft.functions.{AnnFunctions, DedupFunctions, Multimodal, TextFunctions}
+import graft.link.{ConnectedComponents, EntityLink}
+import graft.materialize.GraphWriter
+import graft.sources.CsvDialectSource
+import graft.validate.Validations
+import graft.model.DialectMeta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ValidationsSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+  import spark.implicits._
+
+  test("pkDuplicates finds only duplicated keys") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val dups = Validations.pkDuplicates(df, Seq("k")).collect()
+    assert(dups.length == 1 && dups(0).getString(0) == "a" && dups(0).getLong(1) == 2)
+  }
+
+  test("fkViolations anti-join; nulls not violations") {
+    val src = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val dst = Seq(1L, 2L, 3L).toDF("pk")
+    val v = Validations.fkViolations(src, Seq("fk"), dst, Seq("pk")).collect()
+    assert(v.map(_.getLong(0)).toSet == Set(99L))
+  }
+
+  test("turnTextConsistency flags conflicting text per (conv, turn)") {
+    val df = Seq(("c1", 0, "x"), ("c1", 0, "y"), ("c1", 1, "z"), ("c1", 1, "z"))
+      .toDF("conv_id", "turn_idx", "text")
+    val bad = Validations.turnTextConsistency(df).collect()
+    assert(bad.length == 1 && bad(0).getInt(1) == 0)
+  }
+}
+
+class EntityLinkSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+  import spark.implicits._
+
+  test("mentions via broadcast dictionary") {
+    val corpus = Seq((1L, "The Spark engine joins tables"), (2L, "no matches here!"))
+      .toDF("doc_id", "text")
+    val dict = Seq(("e1", "spark"), ("e2", "tables")).toDF("entity_id", "surface")
+    val m = EntityLink.mentions(corpus, dict, "doc_id", "text")
+      .select("doc_id", "entity_id").as[(Long, String)].collect().toSet
+    assert(m == Set((1L, "e1"), (1L, "e2")))
+  }
+
+  test("connected components: two components, deterministic min labels") {
+    val edges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val cc = ConnectedComponents.run(spark, edges)
+      .as[(String, String)].collect().toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("connected components: chain needs multiple iterations") {
+    val edges = (1 to 9).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val cc = ConnectedComponents.run(spark, edges).as[(String, String)].collect().toMap
+    assert(cc.values.toSet == Set("n1"))
+  }
+}
+
+class GraphWriterSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+  import spark.implicits._
+
+  def triples = Seq(
+    graft.mapper.Triple("s1", "p", "o1", obj_iri = true, null, null),
+    graft.mapper.Triple("s1", "p", "o1", obj_iri = true, null, null), // dup
+    graft.mapper.Triple("s0", "p", "lit", obj_iri = false, "en", null)).toDF()
+
+  test("writeTriples dedups, sorts within partitions, writes lineage + manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("gw").toString
+    val path = s"$dir/graph"
+    GraphWriter.writeTriples(triples, path, partitions = 2)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 2)
+    assert(spark.read.parquet(s"$path.lineage").count() >= 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_MANIFEST_graph.json")))
+  }
+
+  test("stage() resumes from manifest without recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("gw2").toString
+    var computes = 0
+    def compute = { computes += 1; triples }
+    val p = s"$dir/stage1"
+    GraphWriter.stage(spark, p)(compute)
+    GraphWriter.stage(spark, p)(compute)
+    assert(computes == 1)
+  }
+
+  test("N-Triples rendering") {
+    val nt = GraphWriter.toNTriples(Seq(
+      graft.mapper.Triple("http://s", "http://p", "http://o", obj_iri = true, null, null),
+      graft.mapper.Triple("_:b0", "http://p", "hi \"x\"", obj_iri = false, "en", null),
+      graft.mapper.Triple("http://s", "http://p", "42", obj_iri = false, null,
+        "http://www.w3.org/2001/XMLSchema#integer")).toDF())
+      .as[String].collect().toSet
+    assert(nt == Set(
+      "<http://s> <http://p> <http://o> .",
+      "_:b0 <http://p> \"hi \\\"x\\\"\"@en .",
+      "<http://s> <http://p> \"42\"^^<http://www.w3.org/2001/XMLSchema#integer> ."))
+  }
+}
+
+class CsvDialectSourceSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+
+  test("readExact: skipRows, multi-row header, comments, blank rows, numbering") {
+    val csv = Seq(
+      "# top comment",
+      "junk to skip",
+      "h1a;h1b",
+      "h2a;h2b",
+      "r1a;r1b",
+      "",
+      "# mid comment",
+      "r2a; r2b ").mkString("\n")
+    val f = java.nio.file.Files.createTempFile("dialect", ".csv")
+    java.nio.file.Files.writeString(f, csv)
+    val dialect = DialectMeta(delimiter = ";", skipRows = 2, headerRowCount = Some(2),
+      commentPrefix = Some("#"), skipBlankRows = true)
+    val res = CsvDialectSource.readExact(spark, f.toString, dialect)
+    assert(res.headerTitles == List(List("h1a", "h2a"), List("h1b", "h2b")))
+    // comments: only those in the header region are collected here
+    assert(res.comments == List(" top comment"))
+    val rows = res.rows.collect().sortBy(_.getLong(0))
+    assert(rows.length == 2)
+    // logical numbering 1..2; source numbers are physical line numbers
+    assert(rows(0).getLong(0) == 1 && rows(0).getLong(1) == 5)
+    assert(rows(1).getLong(0) == 2 && rows(1).getLong(1) == 8)
+    // trim default "true"
+    assert(rows(1).getString(3) == "r2b")
+    assert(CsvDialectSource.embeddedColumns(res.headerTitles).head.titles == List("h1a", "h2a"))
+  }
+
+  test("quoted fields with doubled quotes") {
+    val parsed = CsvDialectSource.parseCsvLine("\"a;b\";\"say \"\"hi\"\"\";c", ";", '"', doubleQuote = true)
+    assert(parsed.toSeq == Seq("a;b", "say \"hi\"", "c"))
+  }
+}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+  import spark.implicits._
+
+  test("text stats + fingerprint deterministic") {
+    val df = Seq((1L, "The quick brown fox"), (2L, "the  QUICK  brown fox "))
+      .toDF("id", "text")
+    val fp = df.select(TextFunctions.fingerprint(col("text"))).as[Long].collect()
+    assert(fp(0) == fp(1)) // normalization collapses case/whitespace
+    val toks = df.select(TextFunctions.tokenCountWs(col("text"))).as[Int].collect()
+    assert(toks.toSeq == Seq(4, 4))
+  }
+
+  test("langId picks stopword-majority language") {
+    val df = Seq(
+      (1L, "the cat and the dog are in the house"),
+      (2L, "der Hund ist nicht mit der Katze"),
+      (3L, "zzz qqq www")).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.langId(col("text"))).as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("shingles windows") {
+    val s = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(s == Seq("a b c", "b c d"))
+  }
+
+  test("exact dedup groups") {
+    val df = Seq((1L, "same text"), (2L, "Same  TEXT"), (3L, "other")).toDF("id", "text")
+    val g = DedupFunctions.exactDupGroups(df, "id", "text").collect()
+    assert(g.length == 1 && g(0).getSeq[Long](g(0).fieldIndex("ids")) == Seq(1L, 2L))
+  }
+
+  test("minhash pairs: exact dup found, unrelated not; near-dup via high overlap") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val near = base + "omega"                                 // ~95% shingle overlap
+    val far = "one two three four five six seven eight nine ten " * 3
+    val df = Seq((1L, base), (2L, near), (3L, base), (4L, far)).toDF("id", "text")
+    val pairs = DedupFunctions.minhashDupPairs(df, "id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))                          // exact dup: est 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))      // unrelated excluded
+  }
+
+  test("simhash: exact dup at hamming 0, unrelated excluded") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val far = "completely different words entirely unrelated content here now truly disjoint"
+    val df = Seq((1L, base), (2L, base), (3L, far)).toDF("id", "text")
+    val rows = DedupFunctions.simhashDupPairs(df, "id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("ngram jaccard exact values") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("id", "text")
+    // 3-gram shingles: {abc,bcd} vs {abc,bce}: jaccard = 1/3
+    val pairs = DedupFunctions.ngramJaccardPairs(df, "id", "text", 3, 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1 && pairs(0)._1 == 1 && pairs(0)._2 == 2)
+    assert(math.abs(pairs(0)._3 - 1.0 / 3) < 1e-6)
+  }
+
+  test("brute-force ANN top-k exact on crafted vectors") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)), (3L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "emb")
+    val top = AnnFunctions.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), vecs, "vec_id", "vec_id", "emb", 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(top == Set((1L, 1), (2L, 2)))
+  }
+
+  test("multimodal decode plumbing: deterministic shapes") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "t")
+    val out = Multimodal.decodePipeline(spark, df, "doc_id")
+    val rows = out.collect()
+    assert(rows.length == 2)
+    val again = Multimodal.decodePipeline(spark, df, "doc_id").collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}
