@@ -327,6 +327,21 @@ object SparkEntry {
         col("conv_id"), col("turns"))
     }),
 
+    // ---- JSON output mode (S7/T6; rows-only — JSON field order is
+    // engine-specific, exact values covered by JsonOutputSpec)
+    "s7_json_minimal" -> ((s, d) => {
+      val tr = transcripts(s, d)
+      graft.mapper.JsonOutput.minimalRows(
+        tr, transcriptTable, transcriptInputs(tr),
+        skolem = concat(col("conv_id"), lit("-"), col("turn_idx")),
+        rownum = col("turn_idx") + 1, sourceNum = col("turn_idx") + 1)
+    }),
+
+    // ---- salted aggregation over the skewed conversation key (skew control)
+    "k1_salted_agg" -> ((s, d) =>
+      graft.materialize.Salting.saltedCount(
+        transcripts(s, d), col("conv_id"), concat(col("conv_id"), col("turn_idx")), 8)),
+
     // ---- CSV dialect scan (S1 exact semantics; rows-only check)
     "s3_csv_dialect" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempFile("graft_dialect", ".csv")
@@ -579,6 +594,10 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "k1_salted_agg" ->
+      s"""$trCte
+         |SELECT conv_id AS key, count(*) AS cnt FROM transcripts GROUP BY conv_id""".stripMargin,
 
     "str1_stream_counts" ->
       s"""$trCte

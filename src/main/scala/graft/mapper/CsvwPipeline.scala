@@ -1,0 +1,128 @@
+package graft.mapper
+
+import graft.model._
+import graft.validate.Validations
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-TableGroup pipeline — the distributed equivalent of the reference's
+  * `Reader#each_statement` (`/root/reference/lib/rdf/tabular/reader.rb:167-361`):
+  * per-table row→triple mapping, group/table boilerplate, common-property and
+  * provenance annotation triples, PK-duplicate and FK-integrity validation,
+  * unioned into one triples DataFrame plus validation side-outputs.
+  */
+object CsvwPipeline {
+
+  final case class Options(
+      minimal: Boolean = false,
+      validate: Boolean = true,
+      withProv: Boolean = false,
+      provStartedAt: String = "1970-01-01T00:00:00Z",
+      provEndedAt: String = "1970-01-01T00:00:00Z",
+      metadataFiles: Seq[String] = Nil)
+
+  /** One table's bound input: rows plus the columns that drive numbering and
+    * skolemization. For CSV sources these come from
+    * [[graft.sources.CsvDialectSource.readExact]] (`_row`/`_sourceRow`);
+    * for transcript tables from `(conv_id, turn_idx)`.
+    */
+  final case class BoundTable(
+      df: DataFrame,
+      inputs: Map[String, Column],
+      skolem: Column,
+      rownum: Column,
+      sourceNum: Column)
+
+  final case class Result(
+      triples: DataFrame,
+      cellErrors: DataFrame,
+      pkViolations: Map[String, DataFrame],
+      fkViolations: Map[String, DataFrame])
+
+  def run(spark: SparkSession, group: TableGroupMeta,
+          bind: Map[String, BoundTable], opts: Options = Options()): Result = {
+    import spark.implicits._
+    val resolved = Resolve.group(group)
+    val groupRes = group.id.getOrElse("_:tg")
+
+    val tableParts: Seq[DataFrame] = resolved.zipWithIndex.flatMap { case (t, i) =>
+      if (t.suppressOutput && !opts.validate) None
+      else bind.get(t.url).map { b =>
+        val tableRes = s"_:table${i + 1}"
+        val rows = TripleMapper.triples(
+          b.df, t, b.inputs, b.skolem, b.rownum, b.sourceNum,
+          minimal = opts.minimal, tableResource = tableRes)
+        if (t.suppressOutput) rows.limit(0)
+        else if (opts.minimal) rows
+        else {
+          val boiler = TripleMapper.boilerplate(t, tableRes, groupRes)
+          val tableMeta = group.tables.find(_.url == t.url)
+          val common = tableMeta.toSeq.flatMap(_.common).zipWithIndex.flatMap {
+            case ((k, v), j) => Annotations.commonProperty(tableRes, k, v, s"t$i.$j")
+          }
+          rows.unionByName((boiler ++ common).toDF())
+        }
+      }
+    }
+
+    val groupLevel: Seq[Triple] =
+      if (opts.minimal) Nil
+      else {
+        val common = group.common.zipWithIndex.flatMap { case ((k, v), j) =>
+          Annotations.commonProperty(groupRes, k, v, s"g$j")
+        }
+        val prov =
+          if (opts.withProv)
+            Annotations.provenance(groupRes, resolved.map(_.url),
+              opts.metadataFiles, opts.provStartedAt, opts.provEndedAt)
+          else Nil
+        common ++ prov
+      }
+
+    val allTriples = (tableParts ++ (if (groupLevel.nonEmpty) Seq(groupLevel.toDF()) else Nil))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[Triple].toDF())
+
+    // validations (reader.rb:348, 230)
+    val pkViolations: Map[String, DataFrame] =
+      if (!opts.validate) Map.empty
+      else resolved.flatMap { t =>
+        bind.get(t.url).filter(_ => t.primaryKey.nonEmpty).map { b =>
+          val keyed = t.primaryKey.foldLeft(b.df) { (d, k) =>
+            d.withColumn(s"__pk_$k", b.inputs.getOrElse(k, col(k)).cast("string"))
+          }
+          t.url -> Validations.pkDuplicates(keyed, t.primaryKey.map(k => s"__pk_$k"))
+        }
+      }.toMap
+
+    val fkViolations: Map[String, DataFrame] =
+      if (!opts.validate) Map.empty
+      else resolved.flatMap { t =>
+        t.foreignKeys.flatMap { fk =>
+          for {
+            src <- bind.get(t.url)
+            refTable <- resolved.find(rt => rt.url == fk.resource)
+            dst <- bind.get(refTable.url)
+          } yield {
+            val srcDf = fk.columnReference.foldLeft(src.df) { (d, k) =>
+              d.withColumn(s"__fk_$k", src.inputs.getOrElse(k, col(k)).cast("string"))
+            }
+            val dstDf = fk.referencedColumns.foldLeft(dst.df) { (d, k) =>
+              d.withColumn(s"__ref_$k", dst.inputs.getOrElse(k, col(k)).cast("string"))
+            }
+            s"${t.url}->${fk.resource}" -> Validations.fkViolations(
+              srcDf, fk.columnReference.map(k => s"__fk_$k"),
+              dstDf, fk.referencedColumns.map(k => s"__ref_$k"))
+          }
+        }
+      }.toMap
+
+    val errors = resolved.flatMap { t =>
+      bind.get(t.url).map(b => TripleMapper.cellErrors(b.df, t, b.inputs, b.skolem))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+
+    Result(allTriples, errors, pkViolations, fkViolations)
+  }
+}

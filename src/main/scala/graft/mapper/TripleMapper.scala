@@ -128,9 +128,33 @@ object TripleMapper {
     val rowRes = concat(lit("_:r"), col("__skolem"))
     val defaultSubject = concat(lit("_:d"), col("__skolem"))
 
+    // Hoist each distinct aboutUrl template into ONE staged column: the
+    // expansion would otherwise be re-evaluated inside every per-column
+    // triple lambda (visible as N copies of uritemplateexpandexpr in the
+    // Generate node — lambda scopes defeat common-subexpression elimination).
+    // only templates without per-cell variables (_name/_column/_sourceColumn)
+    // are hoistable — those expand identically for every column
+    def usesCellVars(t: graft.core.UriTemplate.Compiled): Boolean =
+      t.parts.exists {
+        case graft.core.UriTemplate.Expr(_, vs) =>
+          vs.exists(v => v.name == "_name" || v.name == "_column" || v.name == "_sourceColumn")
+        case _ => false
+      }
+    val aboutTemplates: Map[String, String] = cols.flatMap { c =>
+      c.aboutUrl.filterNot(usesCellVars).map { t =>
+        t.template -> s"__about_${math.abs(t.template.hashCode)}"
+      }
+    }.toMap
+    aboutTemplates.foreach { case (tmpl, colName) =>
+      val c = cols.find(_.aboutUrl.exists(_.template == tmpl)).get
+      staged = staged.withColumn(colName, expandTemplate(c.aboutUrl.get, c))
+    }
+
     // per-column subject / predicate / valueUrl
     def aboutOf(c: ResolvedColumn): Column =
-      c.aboutUrl.map(expandTemplate(_, c)).getOrElse(defaultSubject)
+      c.aboutUrl.map { t =>
+        aboutTemplates.get(t.template).map(col).getOrElse(expandTemplate(t, c))
+      }.getOrElse(defaultSubject)
     def predOf(c: ResolvedColumn): Column =
       c.propertyUrl.map(expandTemplate(_, c))
         .getOrElse(lit(Iri.recompose(Iri.parse(base).copy(fragment = Some(c.name)))))
