@@ -76,6 +76,16 @@ final class TemplateEvaluator(
     val varNames: Array[String],
     val decodeUri: Boolean) extends Serializable {
 
+  // plan-time fast path: a template whose literal head already carries a
+  // URI scheme expands to an absolute IRI for every row — document-relative
+  // resolution (prefix lookup + parse/recompose) can be skipped per row
+  private val alwaysAbsolute: Boolean = template.parts.headOption.exists {
+    case UriTemplate.Literal(t) =>
+      // scheme-shaped AND not a compact-IRI prefix (rdf:, schema:, …)
+      Iri.hasScheme(t) && !Iri.Prefixes.contains(t.takeWhile(_ != ':'))
+    case _ => false
+  }
+
   /** values: UTF8String | ArrayData(of UTF8String) | null per varNames slot. */
   def eval(values: Array[AnyRef]): UTF8String = {
     val m = scala.collection.mutable.HashMap.empty[String, Any]
@@ -93,7 +103,8 @@ final class TemplateEvaluator(
     }
     var expanded = template.expand(m)
     if (decodeUri) expanded = Iri.pctDecode(expanded)
-    UTF8String.fromString(Iri.expand(base, expanded))
+    UTF8String.fromString(
+      if (alwaysAbsolute) expanded else Iri.expand(base, expanded))
   }
 }
 

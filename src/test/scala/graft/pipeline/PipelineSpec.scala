@@ -226,3 +226,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 }
+
+class CsvwDiscoverSpec extends AnyFunSuite {
+  import graft.sources.CsvwDiscover
+  import java.nio.file.{Files, Paths}
+
+  test("discovery precedence: user metadata > {+url}-metadata.json > csv-metadata.json > synthesized") {
+    val dir = Files.createTempDirectory("disc")
+    val csv = dir.resolve("data.csv")
+    Files.writeString(csv, "a,b\n1,2\n")
+    // nothing found -> synthesized
+    val tg0 = CsvwDiscover.forInput(csv.toString)
+    assert(tg0.tables.head.url == csv.toString && tg0.tables.head.tableSchema.isEmpty)
+    // csv-metadata.json found
+    Files.writeString(dir.resolve("csv-metadata.json"),
+      s"""{"url": "${csv.toString}", "tableSchema": {"columns": [{"name": "a"}, {"name": "b"}]}}""")
+    val tg1 = CsvwDiscover.forInput(csv.toString)
+    assert(tg1.tables.head.tableSchema.exists(_.columns.length == 2))
+    // {+url}-metadata.json takes precedence
+    Files.writeString(Paths.get(csv.toString + "-metadata.json"),
+      s"""{"url": "${csv.toString}", "tableSchema": {"columns": [{"name": "only"}]}}""")
+    val tg2 = CsvwDiscover.forInput(csv.toString)
+    assert(tg2.tables.head.tableSchema.exists(_.columns.length == 1))
+    // user-supplied wins over everything
+    val user = dir.resolve("user.json")
+    Files.writeString(user,
+      s"""{"url": "${csv.toString}", "tableSchema": {"columns": [{"name": "x"}, {"name": "y"}, {"name": "z"}]}}""")
+    val tg3 = CsvwDiscover.forInput(csv.toString, Some(user.toString))
+    assert(tg3.tables.head.tableSchema.exists(_.columns.length == 3))
+  }
+
+  test("site-wide config overrides template list") {
+    val dir = Files.createTempDirectory("disc2")
+    Files.createDirectories(dir.resolve(".well-known"))
+    Files.writeString(dir.resolve(".well-known").resolve("csvm"), "custom-meta.json\n")
+    val csv = dir.resolve("t.csv")
+    Files.writeString(csv, "a\n1\n")
+    Files.writeString(dir.resolve("custom-meta.json"),
+      s"""{"url": "${csv.toString}", "tableSchema": {"columns": [{"name": "fromcustom"}]}}""")
+    val tg = CsvwDiscover.forInput(csv.toString)
+    assert(tg.tables.head.tableSchema.exists(_.columns.head.name.contains("fromcustom")))
+  }
+}
