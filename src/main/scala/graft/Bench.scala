@@ -123,7 +123,7 @@ object Bench {
       // one-sided — a run only ever gets slower than the machine allows).
       val Array(loCores, hiCores) =
         sys.env.getOrElse("GRAFT_BENCH_CORES", "4,16").split(",").map(_.trim.toInt)
-      val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+      val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
       val samples = (1 to reps).flatMap { _ =>
         Seq(loCores -> spawnWorker(loCores, corpus), hiCores -> spawnWorker(hiCores, corpus))
       }
