@@ -38,6 +38,18 @@ object JsonOutput {
   /** Minimal-mode JSON rows: one JSON document string per input row. */
   def minimalRows(df: DataFrame, table: ResolvedTable,
                   inputs: Map[String, Column],
+                  skolem: Column, rownum: Column, sourceNum: Column): DataFrame =
+    minimalStaged(df, table, inputs, skolem, rownum, sourceNum).select("json")
+
+  /** json + row metadata (for standard-mode assembly). */
+  def describedRows(df: DataFrame, table: ResolvedTable,
+                    inputs: Map[String, Column],
+                    skolem: Column, rownum: Column, sourceNum: Column): DataFrame =
+    minimalStaged(df, table, inputs, skolem, rownum, sourceNum)
+      .select(col("json"), col("__rownum").as("__rn"), col("__srcnum").as("__src"))
+
+  private def minimalStaged(df: DataFrame, table: ResolvedTable,
+                  inputs: Map[String, Column],
                   skolem: Column, rownum: Column, sourceNum: Column): DataFrame = {
     var staged = df
       .withColumn("__skolem", skolem.cast("string"))
@@ -69,6 +81,34 @@ object JsonOutput {
     val fields = aboutCols ++ emitted.map { c =>
       typedValue(c, col(s"__cell_${c.name}")).as(c.name)
     }
-    staged.select(to_json(struct(fields: _*), Map("ignoreNullFields" -> "true")).as("json"))
+    staged.select(
+      to_json(struct(fields: _*), Map("ignoreNullFields" -> "true")).as("json"),
+      col("__rownum"), col("__srcnum"))
+  }
+
+  /** Standard-mode JSON document (`reader.rb:456-637` `to_hash`):
+    * `{"tables":[{"url":…,"row":[{"url":"#row=N","rownum":n,"describes":[…]}]}]}`.
+    * Driver-side assembly — the reference's standard output is a single
+    * document, so this is inherently document-sized; the per-row describes
+    * objects are still computed distributed via [[minimalRows]].
+    */
+  def standardDocument(tables: Seq[(ResolvedTable, DataFrame)]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val tablesArr = root.putArray("tables")
+    tables.foreach { case (t, described) =>
+      val tNode = tablesArr.addObject()
+      tNode.put("url", t.url)
+      val rowArr = tNode.putArray("row")
+      described.select(col("json"), col("__rn"), col("__src"))
+        .collect().sortBy(_.getLong(1))
+        .foreach { r =>
+          val rowNode = rowArr.addObject()
+          rowNode.put("url", s"${t.url}#row=${r.getLong(2)}")
+          rowNode.put("rownum", r.getLong(1))
+          rowNode.putArray("describes").add(mapper.readTree(r.getString(0)))
+        }
+    }
+    mapper.writeValueAsString(root)
   }
 }

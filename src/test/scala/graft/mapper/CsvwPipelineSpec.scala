@@ -147,3 +147,31 @@ class JsonOutputSpec extends AnyFunSuite {
     assert(!node.has("opt")) // null cell omitted
   }
 }
+
+/** Standard-mode JSON document (T6). */
+class JsonStandardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("standard document nests tables -> row -> describes") {
+    val json = """{
+      "url": "http://example.org/t",
+      "tableSchema": {
+        "aboutUrl": "urn:row:{_row}",
+        "columns": [{"name": "name", "datatype": "string"}]}}"""
+    val t = graft.model.Resolve.group(CsvwJson.parseTableGroup(json)).head
+    val df = Seq(("alice", 1), ("bob", 2)).toDF("name", "rn")
+    val described = JsonOutput.describedRows(df, t, Map("name" -> col("name")),
+      col("rn"), col("rn"), col("rn"))
+    val doc = JsonOutput.standardDocument(Seq(t -> described))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc)
+    val tbl = node.get("tables").get(0)
+    assert(tbl.get("url").asText() == "http://example.org/t")
+    val rows = tbl.get("row")
+    assert(rows.size() == 2)
+    assert(rows.get(0).get("url").asText() == "http://example.org/t#row=1")
+    assert(rows.get(0).get("rownum").asLong() == 1L)
+    assert(rows.get(0).get("describes").get(0).get("name").asText() == "alice")
+    assert(rows.get(1).get("describes").get(0).get("@id").asText() == "urn:row:2")
+  }
+}
