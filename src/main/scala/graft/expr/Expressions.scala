@@ -29,7 +29,28 @@ object ExprRuntime {
 
 /** Helper bound into codegen for [[CsvwCellExpr]]. */
 final class CellEvaluator(val col: ResolvedColumn) extends Serializable {
+
+  // Fast path: a plain string column with no format/facets/separator and the
+  // default null list ([""]) — the dominant shape in transcript mappings —
+  // maps input verbatim, so the whole pipeline collapses to two shapes.
+  private val trivialString: Boolean =
+    col.datatypeBase == "string" && col.regexFormat.isEmpty &&
+      col.separator.isEmpty && !col.required && col.default.isEmpty &&
+      col.nulls == List("") && col.length.isEmpty && col.minLength.isEmpty &&
+      col.maxLength.isEmpty && col.minimum.isEmpty && col.maximum.isEmpty &&
+      col.minExclusive.isEmpty && col.maxExclusive.isEmpty
+
+  private val emptyStrArray = new GenericArrayData(Array.empty[Any])
+  // null-cell result is constant: share one instance (rows are read-only)
+  private val nullCellRow = InternalRow(emptyStrArray, emptyStrArray, true)
+
   def eval(input: UTF8String): InternalRow = {
+    if (trivialString) {
+      if (input == null || input.numBytes() == 0) return nullCellRow
+      return InternalRow(
+        new GenericArrayData(Array[Any](InternalRow(input, true))),
+        emptyStrArray, false)
+    }
     val res = CellRuntime.process(col, if (input == null) null else input.toString)
     val vals = new GenericArrayData(res.values.map { cv =>
       InternalRow(UTF8String.fromString(cv.lex), cv.ok)
