@@ -35,6 +35,17 @@ object AnnFunctions {
     aggregate(bits, lit(0L), (acc, b) => call_function("shiftleft", acc, lit(1)).bitwiseOR(b))
   }
 
+  /** Multi-probe bucket set: the sketch plus every variant within
+    * `probeBits` flipped planes (masks enumerated at plan time — the probe
+    * array is a constant-size projection, no per-row blowup beyond the
+    * Σ C(planes,j) factor).
+    */
+  def probeBuckets(bucket: Column, planes: Int, probeBits: Int): Column = {
+    val masks = (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeBits)
+    array(masks.map(m => bucket.bitwiseXOR(lit(m))): _*)
+  }
+
   /** Exact brute-force cosine top-k: queries × corpus join + window top-k.
     * Correctness baseline — O(|Q|·|C|); broadcast the smaller side.
     */
@@ -55,23 +66,24 @@ object AnnFunctions {
   }
 
   /** LSH-bucketed ANN top-k: candidates restricted to sign-sketch buckets
-    * (multi-probe: exact bucket plus 1-bit flips), then exact re-rank. At
-    * 100 TB this replaces the cross join with a bucket equi-join whose
-    * shuffle is proportional to bucket occupancy.
+    * (multi-probe on the query side: exact bucket plus ≤ `probeBits` plane
+    * flips), then exact re-rank. At 100 TB this replaces the cross join with
+    * a bucket equi-join whose shuffle is proportional to bucket occupancy.
+    * The sketch is computed once per row and staged as a column — round 1
+    * re-evaluated the full 64-term sketch aggregate inside each probe's
+    * lambda.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, cId: String, embCol: String, k: Int,
-              planes: Int = 8): DataFrame = {
+              planes: Int = 8, probeBits: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cS = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"),
       signSketch(col(embCol), planes).as("bucket"))
-    // multi-probe: original sketch + all single-bit flips
-    val probes = transform(sequence(lit(0), lit(planes)), i => {
-      val base = signSketch(col(embCol), planes)
-      when(i === 0, base).otherwise(base.bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int") - 1)))
-    })
-    val qS = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"),
-      explode(probes).as("bucket"))
+    val qS = queries
+      .select(col(qId).as("query_id"), col(embCol).as("q_emb"),
+        signSketch(col(embCol), planes).as("sk"))
+      .select(col("query_id"), col("q_emb"),
+        explode(probeBuckets(col("sk"), planes, probeBits)).as("bucket"))
     qS.join(cS, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -92,18 +92,37 @@ object DedupFunctions {
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the 4 16-bit chunks (a pair within
-    * Hamming distance ≤3 of 64 bits shares at least one exact chunk for
-    * distance ≤3 when split into 4 — pigeonhole), verify with bit_count.
+  /** SimHash near-dup pairs, recall-complete for the requested radius:
+    * the 64 bits are split into `maxHamming + 1` disjoint chunks, so by
+    * pigeonhole any pair within Hamming distance `maxHamming` shares at
+    * least one chunk exactly (round 1 hard-coded 4 chunks, silently losing
+    * pairs at distance 4-8). Blocking joins per (chunk_idx, chunk value);
+    * verification is an exact `bit_count` filter.
+    *
+    * Scale note: chunk width shrinks as the radius grows (radius 8 → 9
+    * chunks of ~7 bits → ~128 buckets per chunk index), so bucket occupancy
+    * — and the verify-join fan-out — grows. For large radii at 100 TB the
+    * standard fix is HmSearch-style multi-level blocking (join on *pairs* of
+    * sub-chunks, pigeonhole over C(n,2) keys); radius ≤ 3 keeps 16-bit
+    * chunks and stays cheap, which is why the driver query uses a small
+    * radius for the scan and a spec proves blocked == brute-force recall.
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val nChunks = maxHamming + 1
+    // chunk i covers bits [i*64/n, (i+1)*64/n) — disjoint, exhaustive
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    val chunkExprs = (0 until nChunks).map { i =>
+      val start = bounds(i)
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      call_function("shiftrightunsigned", col("sim"), lit(start)).bitwiseAND(lit(mask))
+    }
     val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
       .localCheckpoint()
     val chunked = withSim.select(col("id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        i => call_function("shiftright", col("sim"), i.cast("int") * 16).bitwiseAND(0xffffL)))
-        .as(Seq("chunk_idx", "chunk")))
+      posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk")))
     val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("chunk_idx", "chunk"))
@@ -113,19 +132,42 @@ object DedupFunctions {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs sharing at least one
-    * shingle (bucket join on shingle hash, count-based estimator:
-    * |A∩B| via shared-shingle count, |A∪B| = |A|+|B|−|A∩B|).
+  /** Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style): shingles
+    * are ranked by ascending global document frequency, and each document
+    * contributes only its ⌊(1−t)·|A|⌋+1 *rarest* shingles to candidate
+    * generation — any pair with Jaccard ≥ t must share a prefix shingle
+    * (overlap ≥ t/(1+t)·(|A|+|B|) > |A| − prefix length), so recall is
+    * complete. Round 1 joined on *every* shared shingle: one hot stop-word
+    * shingle in k docs made a k² bucket, unbounded skew at 100 TB. The
+    * prefix prefers rare shingles, so hot-shingle buckets only form when a
+    * hot shingle is among a document's rarest — bounded in practice.
+    * Jaccard itself is then computed exactly over the *full* shingle sets
+    * of the surviving candidate pairs.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
       .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh2"),
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // rank shingles within each doc by rarity; keep the prefix
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
+      .join(sizes, "id")
+      .filter(col("rn") <= floor((lit(1.0) - threshold) * col("n")).cast("long") + 1)
+      .select(col("id"), col("sh"))
+    val cand = ranked.toDF("id_a", "sh").join(ranked.toDF("id_b", "sh2"),
         col("sh") === col("sh2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates()
+    // exact intersection over the full shingle sets of candidates only
+    val inter = cand
+      .join(sh.toDF("id_a", "sha"), "id_a")
+      .join(sh.toDF("idb2", "shb"),
+        col("id_b") === col("idb2") && col("sha") === col("shb"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.toDF("id_a", "n_a"), "id_a")
@@ -137,20 +179,27 @@ object DedupFunctions {
 
   /** Embedding cosine near-dup pairs above a similarity threshold, blocked by
     * sign-sketch buckets (random-hyperplane LSH via seeded hashes) to avoid
-    * the full cross join.
+    * the full cross join. One side multi-probes nearby buckets (all sketch
+    * values within `probeBits` bit flips) — round 1 used a single exact
+    * bucket per item, so pairs whose sketches differed in even one plane
+    * were silently dropped (d5 returned 0 rows with nothing to catch it).
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, embCol: String,
-                        threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val emb = col(embCol)
-    val sketch = AnnFunctions.signSketch(emb, planes)
-    val withS = df.select(col(idCol).as("id"), emb.as("e"), sketch.as("bucket"))
+                        threshold: Double = 0.95, planes: Int = 8,
+                        probeBits: Int = 2): DataFrame = {
+    val sketch = AnnFunctions.signSketch(col(embCol), planes)
+    val withS = df.select(col(idCol).as("id"), col(embCol).as("e"), sketch.as("bucket"))
       .localCheckpoint()
-    val a = withS.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"))
+    val a = withS.select(
+      explode(AnnFunctions.probeBuckets(col("bucket"), planes, probeBits)).as("bucket"),
+      col("id").as("id_a"), col("e").as("e_a"))
     val b = withS.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         AnnFunctions.cosine(col("e_a"), col("e_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      // a pair can meet in several probed buckets — dedup (cosine identical)
+      .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }
 }

@@ -18,12 +18,13 @@ object Multimodal {
                               height: Int, n_frames: Int, feature: Array[Float])
 
   /** Attach a synthetic binary payload column to a keyed table (test/bench
-    * harness for the decode path; deterministic function of the key).
+    * harness for the decode path; deterministic, SQL-replicable function of
+    * the key so the DuckDB oracle can reproduce the whole decode output).
     */
   def withSyntheticPayload(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (abs(xxhash64(col(idCol))) % 3 + 1).cast("int")).as("media_type"),
+        (col(idCol).cast("long") % 3 + 1).cast("int")).as("media_type"),
       to_binary(md5(col(idCol).cast("string")), lit("hex")).as("payload"))
 
   /** STUB decode: === replace this body with a real codec ===

@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  /** Per-language stopword lists — public so driver oracles can mirror the
+    * exact scoring vocabulary in SQL.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "was", "for", "on", "are", "with", "they", "this"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "auf", "für", "sie", "den", "von", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "est", "je", "pas", "un", "une", "avec", "pour", "que", "des", "dans", "il"),
