@@ -278,11 +278,16 @@ object Uax35Date {
     private val dateRe: Option[Pattern] = datePattern.flatMap(dateRegex)
     private val timeRe: Option[Pattern] = timePattern.flatMap(timeRegex)
     private val tzRe: Option[Pattern] = tzPattern.flatMap(p => tzRegex(p.trim))
-    private val maxMs: Int = {
-      val p = datePattern.orElse(timePattern).getOrElse("")
-      val idx = p.indexOf("S")
-      if (idx < 0) 0 else p.substring(idx).takeWhile(_ == 'S').length
+    // per-sub-pattern fractional-second limits: a combined pattern like
+    // "yyyy-MM-dd HH:mm:ss.SSS" carries its S-run on the *time* sub-pattern,
+    // so each matcher must be checked against its own limit
+    private def msLimit(p: Option[String]): Int = {
+      val s = p.getOrElse("")
+      val idx = s.indexOf("S")
+      if (idx < 0) 0 else s.substring(idx).takeWhile(_ == 'S').length
     }
+    private val dateMaxMs: Int = msLimit(datePattern)
+    private val timeMaxMs: Int = msLimit(timePattern)
 
     /** @return Right(canonical XSD lexical) or Left(error). */
     def parse(rawValue: String): Either[String, String] = {
@@ -294,7 +299,7 @@ object Uax35Date {
       dateRe.foreach { re =>
         val m = re.matcher(value)
         if (m.lookingAt()) {
-          val ok = if (maxMs > 0 && groupOrEmpty(m, "ms").nonEmpty) groupOrEmpty(m, "ms").length <= maxMs else true
+          val ok = if (dateMaxMs > 0 && groupOrEmpty(m, "ms").nonEmpty) groupOrEmpty(m, "ms").length <= dateMaxMs else true
           if (ok) {
             dateM = Some(m)
             value = value.substring(m.end())
@@ -308,7 +313,7 @@ object Uax35Date {
       timeRe.foreach { re =>
         val m = re.matcher(value)
         if (m.lookingAt()) {
-          val ok = if (maxMs > 0 && groupOrEmpty(m, "ms").nonEmpty) groupOrEmpty(m, "ms").length <= maxMs else true
+          val ok = if (timeMaxMs > 0 && groupOrEmpty(m, "ms").nonEmpty) groupOrEmpty(m, "ms").length <= timeMaxMs else true
           if (ok) { timeM = Some(m); value = value.substring(m.end()) }
         }
       }

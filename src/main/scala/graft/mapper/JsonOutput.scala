@@ -20,19 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object JsonOutput {
 
+  /** JSON-escape an arbitrary string column: render `{"v":…}` compactly and
+    * strip the fixed 5-char prefix and closing brace, leaving the quoted
+    * escaped JSON string literal.
+    */
+  private def jsonEscaped(s: Column): Column = {
+    val j = to_json(struct(s.as("v")))
+    j.substr(lit(6), length(j) - 6)
+  }
+
+  /** Per-cell value as a VARIANT so each *cell* carries its own JSON type,
+    * matching the reference's `to_hash` (`reader.rb:565-617`): valid
+    * numeric/boolean cells are bare JSON literals (integers beyond Long
+    * range stay numbers — no silent null from a lossy cast), while invalid
+    * cells (`ok=false`) and non-JSON lexicals (NaN/INF) degrade to JSON
+    * strings instead of being dropped.
+    */
   private def typedValue(c: ResolvedColumn, cell: Column): Column = {
     val vals = cell.getField("vals")
-    def one = element_at(vals, 1)
-    def typed(lex: Column): Column = c.datatypeBase match {
-      case b if Xsd.NumericBases.contains(b) &&
-        Set("double", "float", "number").contains(b) => lex.cast("double")
-      case b if Xsd.NumericBases.contains(b) && b == "decimal" => lex.cast("decimal(38,12)")
-      case b if Xsd.NumericBases.contains(b) => lex.cast("long")
-      case "boolean" => lex.cast("boolean")
-      case _ => lex
+    def variantOf(v: Column): Column = {
+      val lex = v.getField("lex")
+      val ok = v.getField("ok")
+      if (Xsd.NumericBases.contains(c.datatypeBase) || c.datatypeBase == "boolean")
+        coalesce(when(ok, try_parse_json(lex)), try_parse_json(jsonEscaped(lex)))
+      else try_parse_json(jsonEscaped(lex))
     }
-    if (c.separator.isDefined) transform(vals, v => typed(v.getField("lex")))
-    else when(cell.getField("isNull"), lit(null)).otherwise(typed(one.getField("lex")))
+    if (c.separator.isDefined) transform(vals, variantOf(_))
+    else when(cell.getField("isNull"), lit(null)).otherwise(variantOf(element_at(vals, 1)))
   }
 
   /** Minimal-mode JSON rows: one JSON document string per input row. */

@@ -140,11 +140,14 @@ object TripleMapper {
           vs.exists(v => v.name == "_name" || v.name == "_column" || v.name == "_sourceColumn")
         case _ => false
       }
-    val aboutTemplates: Map[String, String] = cols.flatMap { c =>
-      c.aboutUrl.filterNot(usesCellVars).map { t =>
-        t.template -> s"__about_${math.abs(t.template.hashCode)}"
-      }
-    }.toMap
+    // staged-column names keyed by position in the deduplicated template
+    // list — hashCode-keyed names could collide across distinct templates
+    // (second withColumn silently wins → wrong subjects)
+    val aboutTemplates: Map[String, String] = cols
+      .flatMap(c => c.aboutUrl.filterNot(usesCellVars).map(_.template))
+      .distinct.zipWithIndex
+      .map { case (tmpl, i) => tmpl -> s"__about_$i" }
+      .toMap
     aboutTemplates.foreach { case (tmpl, colName) =>
       val c = cols.find(_.aboutUrl.exists(_.template == tmpl)).get
       staged = staged.withColumn(colName, expandTemplate(c.aboutUrl.get, c))

@@ -63,11 +63,16 @@ object GraphWriter {
     }
   }
 
-  /** Render triples as canonical N-Triples lines (for golden-file diffs). */
+  /** Render triples as canonical N-Triples lines (for golden-file diffs).
+    * Escapes the full N-Triples string-literal set: backslash, quote, LF,
+    * CR and TAB (round 1 missed \r/\t — a carriage return in a literal
+    * produced an invalid line).
+    */
   def toNTriples(triples: DataFrame): DataFrame = {
     def esc(c: org.apache.spark.sql.Column) =
-      regexp_replace(regexp_replace(regexp_replace(c,
-        lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\"")), lit("\n"), lit("\\\\n"))
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+        lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\"")), lit("\n"), lit("\\\\n")),
+        lit("\r"), lit("\\\\r")), lit("\t"), lit("\\\\t"))
     val term = (c: org.apache.spark.sql.Column) =>
       when(c.startsWith("_:"), c).otherwise(concat(lit("<"), c, lit(">")))
     val objTerm =

@@ -18,7 +18,12 @@ import org.apache.spark.sql.types._
   */
 object CsvDialectSource extends Serializable {
 
-  /** Dialect → Spark CSV options (fast path; header ≤ 1, skipRows = 0). */
+  /** Dialect → Spark CSV options (fast path; header ≤ 1, skipRows = 0).
+    * `multiLine` makes quoted fields containing line terminators parse as
+    * one record (the reference's Ruby CSV semantics) at the cost of
+    * splittability — each file becomes one read unit, the standard Spark
+    * trade-off for embedded-newline CSV.
+    */
   def read(spark: SparkSession, path: String, dialect: DialectMeta): DataFrame = {
     var r = spark.read
       .option("sep", dialect.delimiter)
@@ -26,7 +31,14 @@ object CsvDialectSource extends Serializable {
       .option("escape", if (dialect.doubleQuote) dialect.quoteChar else "\\")
       .option("encoding", dialect.encoding)
       .option("header", dialect.effectiveHeaderRowCount == 1)
+      .option("multiLine", true)
       .option("mode", "PERMISSIVE")
+    // Spark's default record separator already accepts \r\n and \n; a
+    // single explicit custom terminator maps onto lineSep
+    dialect.lineTerminators match {
+      case one :: Nil if one != "\n" && one != "\r\n" => r = r.option("lineSep", one)
+      case _ => ()
+    }
     dialect.commentPrefix.foreach(p => r = r.option("comment", p.take(1)))
     val trim = dialect.effectiveTrim
     if (trim == "true" || trim == "start") r = r.option("ignoreLeadingWhiteSpace", true)
@@ -41,6 +53,13 @@ object CsvDialectSource extends Serializable {
 
   /** Exact `each_row` semantics with logical/source row numbering and
     * embedded-metadata header extraction (`metadata.rb:1794-1888`).
+    *
+    * Known divergence (documented): records are framed by physical lines,
+    * so quoted fields containing line terminators are NOT supported on this
+    * path — use [[read]] (multiLine) for such files. Custom
+    * `lineTerminators` and non-UTF-8 `encoding` are likewise unsupported
+    * here; the 100 TB path is parquet/Iceberg, and metadata-driven CSV is a
+    * config-scale input.
     */
   def readExact(spark: SparkSession, path: String, dialect: DialectMeta): ExactResult = {
     val lines = spark.sparkContext.textFile(path).zipWithIndex()

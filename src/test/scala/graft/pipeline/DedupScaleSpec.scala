@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.functions.{AnnFunctions, DedupFunctions}
+import graft.link.ConnectedComponents
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-behavior guarantees added in round 2: pigeonhole recall of the
+  * SimHash blocking at any radius, prefix-filter recall of the n-gram
+  * Jaccard join, pointer-jump convergence of connected components on long
+  * paths, and multi-probe structure of the sign-sketch LSH.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+  import spark.implicits._
+
+  /** 150 synthetic docs of 30 tokens over a 50-word vocabulary — dense
+    * enough that pairs exist at many Hamming distances / Jaccard levels.
+    */
+  private def corpus = (0 until 150).map { i =>
+    (i.toLong, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 50}").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  test("simhash blocking is recall-complete at radius 8 (== brute force)") {
+    val blocked = DedupFunctions.simhashDupPairs(corpus, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sims = corpus.select(col("doc_id"),
+      DedupFunctions.simhash(col("text")).as("sim"))
+    val brute = sims.toDF("id_a", "sim_a")
+      .crossJoin(sims.toDF("id_b", "sim_b"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(DedupFunctions.hammingDist(col("sim_a"), col("sim_b")) <= 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain pairs within radius 8")
+    assert(blocked == brute)
+  }
+
+  test("simhash blocking recall-complete at radius 3 (16-bit chunks path)") {
+    val blocked = DedupFunctions.simhashDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sims = corpus.select(col("doc_id"), DedupFunctions.simhash(col("text")).as("sim"))
+    val brute = sims.toDF("id_a", "sim_a").crossJoin(sims.toDF("id_b", "sim_b"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(DedupFunctions.hammingDist(col("sim_a"), col("sim_b")) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == brute)
+  }
+
+  test("ngram Jaccard prefix filtering loses no pairs vs all-shared-shingle join") {
+    val t = 0.3
+    val fast = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = t)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // naive exact: full shingle-set self-join (the round-1 shape)
+    val sh = corpus.select(col("doc_id").as("id"),
+      explode(array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3))).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val brute = sh.toDF("id_a", "s").join(sh.toDF("id_b", "s2"),
+        col("s") === col("s2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("n_a") + col("n_b") - col("i")), 6).as("j"))
+      .filter(col("j") >= t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain pairs above threshold")
+    assert(fast == brute)
+  }
+
+  test("connected components: 120-node path converges via pointer jumping") {
+    // plain min-label propagation needs 119 rounds; the 50-iteration budget
+    // is only enough because label chains halve each round
+    val edges = (0 until 119).map(i => (f"n$i%04d", f"n${i + 1}%04d")).toDF("src", "dst")
+    val cc = ConnectedComponents.run(spark, edges).as[(String, String)].collect()
+    assert(cc.length == 120 && cc.forall(_._2 == "n0000"))
+  }
+
+  test("connected components fails loudly when the iteration budget is too small") {
+    val edges = (0 until 40).map(i => (f"n$i%04d", f"n${i + 1}%04d")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.run(spark, edges, maxIterations = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("probeBuckets enumerates exactly the sketches within probeBits flips") {
+    val df = Seq(Tuple1(0L)).toDF("b")
+      .select(AnnFunctions.probeBuckets(col("b"), planes = 8, probeBits = 2).as("p"))
+    val probes = df.as[Seq[Long]].collect().head
+    assert(probes.length == 1 + 8 + 28) // C(8,0)+C(8,1)+C(8,2)
+    assert(probes.contains(0L))
+    assert(probes.forall(m => java.lang.Long.bitCount(m) <= 2 && m < 256))
+    assert(probes.distinct.length == probes.length)
+  }
+
+  test("embeddingDupPairs finds a pair one sketch-bit apart (multi-probe)") {
+    // two near-identical vectors plus decoys; regardless of which buckets
+    // the sketches land in, the near pair must surface
+    val near = (0 until 16).map(_ * 0.1)
+    val nearB = near.updated(3, near(3) + 0.01)
+    val rows = Seq((1L, near), (2L, nearB)) ++
+      (3L to 40L).map(i => (i, (0 until 16).map(j => math.sin(i * 17.0 + j).abs)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = DedupFunctions.embeddingDupPairs(df, "vec_id", "embedding",
+      threshold = 0.999, planes = 8, probeBits = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
