@@ -427,12 +427,21 @@ object SparkEntry {
         tr, transcriptTable, transcriptInputs(tr),
         skolem = concat(col("conv_id"), lit("-"), col("turn_idx")),
         rownum = col("turn_idx") + 1, sourceNum = col("turn_idx") + 1)
-      val schema = "`@id` STRING, conv_id STRING, turn_idx BIGINT, role STRING, " +
-        "text STRING, tool STRING, ts STRING"
-      js.select(from_json(col("json"), org.apache.spark.sql.types.StructType.fromDDL(schema)).as("r"))
-        .select(col("r.`@id`").as("id"), col("r.conv_id").as("conv_id"),
-          col("r.turn_idx").as("turn_idx"), col("r.role").as("role"),
-          col("r.text").as("text"), col("r.tool").as("tool"), col("r.ts").as("ts"))
+      // keys are the expanded property IRIs (the mapping declares a
+      // propertyUrl template, so reference to_hash compacts — here they
+      // stay absolute)
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("@id", org.apache.spark.sql.types.StringType) +:
+        Seq("conv_id" -> "string", "turn_idx" -> "bigint", "role" -> "string",
+            "text" -> "string", "tool" -> "string", "ts" -> "string").map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(s"$P$n",
+            org.apache.spark.sql.types.DataType.fromDDL(t))
+        })
+      js.select(from_json(col("json"), schema).as("r"))
+        .select(col("r.`@id`").as("id"), col(s"r.`${P}conv_id`").as("conv_id"),
+          col(s"r.`${P}turn_idx`").as("turn_idx"), col(s"r.`${P}role`").as("role"),
+          col(s"r.`${P}text`").as("text"), col(s"r.`${P}tool`").as("tool"),
+          col(s"r.`${P}ts`").as("ts"))
     }),
 
     // ---- salted aggregation over the skewed conversation key (skew control)

@@ -52,6 +52,23 @@ object Iri {
     "xhv" -> "http://www.w3.org/1999/xhtml/vocab#",
     "xsd" -> "http://www.w3.org/2001/XMLSchema#")
 
+  private lazy val byNamespace: Seq[(String, String)] =
+    (Prefixes - "csvw").toSeq.sortBy { case (p, ns) => (-ns.length, p) }
+
+  /** JSON-LD-style compaction against the CSVW initial context with
+    * `vocab: true` (`reader.rb:578,585`): csvw-namespace terms compact to
+    * bare names, other known namespaces to prefixed names (longest
+    * namespace wins), anything else stays absolute.
+    */
+  def compactIri(iri: String): String = {
+    val csvw = Prefixes("csvw")
+    if (iri.startsWith(csvw) && iri.length > csvw.length) iri.substring(csvw.length)
+    else byNamespace.collectFirst {
+      case (p, ns) if iri.startsWith(ns) && iri.length > ns.length =>
+        s"$p:${iri.substring(ns.length)}"
+    }.getOrElse(iri)
+  }
+
   /** True if `s` starts with a URI scheme (`scheme:`), RFC 3986 §3.1. */
   def hasScheme(s: String): Boolean = {
     if (s.isEmpty || !s.head.isLetter) return false

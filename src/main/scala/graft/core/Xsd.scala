@@ -51,6 +51,11 @@ object Xsd {
     "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
     "nonPositiveInteger", "negativeInteger", "double", "float", "number")
 
+  /** The integer-valued subset of [[NumericBases]] (JSON output emits these
+    * as arbitrary-precision integers, the rest as doubles).
+    */
+  val IntegerBases: Set[String] = NumericBases -- Set("decimal", "double", "float", "number")
+
   val DateTimeBases: Set[String] = Set("date", "time", "dateTime", "dateTimeStamp", "datetime")
   val DurationBases: Set[String] = Set("duration", "dayTimeDuration", "yearMonthDuration")
   val BinaryBases: Set[String] = Set("hexBinary", "base64Binary", "binary")

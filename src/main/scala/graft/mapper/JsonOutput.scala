@@ -1,113 +1,264 @@
 package graft.mapper
 
+import graft.core.{Iri, Xsd}
 import graft.expr.CsvwFunctions
 import graft.model.{ResolvedColumn, ResolvedTable}
-import graft.core.Xsd
 
-import org.apache.spark.sql.{Column, DataFrame}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 /** CSVW→JSON output (SURVEY.md §2.1 S7 / §2.7 T6), the analog of the
   * reference's `to_hash` (`/root/reference/lib/rdf/tabular/reader.rb:456-637`):
-  * minimal mode emits one "describes" object per row — keys are column
-  * names, values typed (numbers unboxed, booleans native, lists as arrays),
-  * null cells omitted, `@id` present when the row has an aboutUrl.
+  * cells are grouped by their *expanded* `aboutUrl` into one describes
+  * object per distinct subject; a `valueUrl` referenced exactly once whose
+  * URL names another of the row's subjects is folded into its parent
+  * (`reader.rb:605-614`); `rdf:type` property URLs become `@type` and IRIs
+  * compact against the CSVW initial context.
   *
-  * Built as a single `to_json(struct(...))` projection — stays in codegen,
-  * no driver-side assembly; standard-mode nesting (tables→rows→describes)
-  * is a driver-side wrap of this same per-row output for document-sized
-  * results.
+  * Execution shape: cell evaluation and URI-template expansion stay in the
+  * codegen'd expression pipeline (one projection over the scan); the
+  * per-row object assembly — inherently dynamic per-row JSON — runs as one
+  * narrow `mapPartitions` over the staged columns. No shuffle, no driver
+  * round-trip; at 100 TB this is a sink-format stage that parallelizes
+  * per-partition like any write.
   */
 object JsonOutput {
 
-  /** JSON-escape an arbitrary string column: render `{"v":…}` compactly and
-    * strip the fixed 5-char prefix and closing brace, leaving the quoted
-    * escaped JSON string literal.
-    */
-  private def jsonEscaped(s: Column): Column = {
-    val j = to_json(struct(s.as("v")))
-    j.substr(lit(6), length(j) - 6)
-  }
+  private val RdfType = Vocab.RdfType
 
-  /** Per-cell value as a VARIANT so each *cell* carries its own JSON type,
-    * matching the reference's `to_hash` (`reader.rb:565-617`): valid
-    * numeric/boolean cells are bare JSON literals (integers beyond Long
-    * range stay numbers — no silent null from a lossy cast), while invalid
-    * cells (`ok=false`) and non-JSON lexicals (NaN/INF) degrade to JSON
-    * strings instead of being dropped.
-    */
-  private def typedValue(c: ResolvedColumn, cell: Column): Column = {
-    val vals = cell.getField("vals")
-    def variantOf(v: Column): Column = {
-      val lex = v.getField("lex")
-      val ok = v.getField("ok")
-      if (Xsd.NumericBases.contains(c.datatypeBase) || c.datatypeBase == "boolean")
-        coalesce(when(ok, try_parse_json(lex)), try_parse_json(jsonEscaped(lex)))
-      else try_parse_json(jsonEscaped(lex))
-    }
-    if (c.separator.isDefined) transform(vals, variantOf(_))
-    else when(cell.getField("isNull"), lit(null)).otherwise(variantOf(element_at(vals, 1)))
-  }
+  /** Plan-time column facts shipped into the row builder. */
+  private final case class JCol(
+      name: String, suppressOutput: Boolean, virtual: Boolean,
+      base: String, isList: Boolean,
+      hasValueUrl: Boolean, isTitle: Boolean) extends Serializable
 
-  /** Minimal-mode JSON rows: one JSON document string per input row. */
+  /** Minimal-mode output: one JSON document string per *describes object*
+    * (a row with several aboutUrl subjects emits several — `reader.rb:619`).
+    */
   def minimalRows(df: DataFrame, table: ResolvedTable,
                   inputs: Map[String, Column],
                   skolem: Column, rownum: Column, sourceNum: Column): DataFrame =
-    minimalStaged(df, table, inputs, skolem, rownum, sourceNum).select("json")
+    assembled(df, table, inputs, skolem, rownum, sourceNum)
+      .select(explode(col("describes")).as("json"))
 
-  /** json + row metadata (for standard-mode assembly). */
+  /** Standard-mode per-row objects `{"url":…,"rownum":…,"describes":[…]}`
+    * plus row metadata for document assembly.
+    */
   def describedRows(df: DataFrame, table: ResolvedTable,
                     inputs: Map[String, Column],
                     skolem: Column, rownum: Column, sourceNum: Column): DataFrame =
-    minimalStaged(df, table, inputs, skolem, rownum, sourceNum)
-      .select(col("json"), col("__rownum").as("__rn"), col("__srcnum").as("__src"))
+    assembled(df, table, inputs, skolem, rownum, sourceNum)
+      .select(col("json"), col("rn").as("__rn"), col("src").as("__src"))
 
-  private def minimalStaged(df: DataFrame, table: ResolvedTable,
-                  inputs: Map[String, Column],
-                  skolem: Column, rownum: Column, sourceNum: Column): DataFrame = {
+  private final case class AssembledRow(
+      json: String, describes: Seq[String], rn: Long, src: Long)
+
+  private def assembled(df: DataFrame, table: ResolvedTable,
+                        inputs: Map[String, Column],
+                        skolem: Column, rownum: Column, sourceNum: Column): DataFrame = {
+    val cols = table.columns
     var staged = df
       .withColumn("__skolem", skolem.cast("string"))
       .withColumn("__rownum", rownum.cast("long"))
       .withColumn("__srcnum", sourceNum.cast("long"))
-    table.columns.foreach { c =>
+    cols.foreach { c =>
       val in = if (c.virtual) lit("") else inputs.getOrElse(c.name, col(c.name)).cast("string")
       staged = staged.withColumn(s"__cell_${c.name}", CsvwFunctions.csvwCell(in, c))
     }
-    val emitted = table.columns.filterNot(_.suppressOutput)
-    // @id from the first column's aboutUrl template when present
-    val aboutCols: Seq[Column] = table.columns.find(c => c.aboutUrl.isDefined).map { c =>
-      val colVars = table.columns.map { cc =>
-        val cell = col(s"__cell_${cc.name}")
-        val v =
-          if (cc.separator.isDefined) transform(cell.getField("vals"), x => x.getField("lex"))
-          else coalesce(element_at(cell.getField("vals"), 1).getField("lex"), lit(""))
-        cc.name -> v
-      }
-      val rowVars = Seq(
-        "_row" -> col("__rownum").cast("string"),
-        "_sourceRow" -> col("__srcnum").cast("string"),
-        "_name" -> lit(graft.core.Iri.pctDecode(c.name)))
-      val t = c.aboutUrl.get
-      val used = t.parts.collect { case graft.core.UriTemplate.Expr(_, vs) => vs.map(_.name) }.flatten.toSet
-      CsvwFunctions.uriTemplate(t, table.url,
-        (colVars ++ rowVars).filter(v => used.contains(v._1))).as("@id")
-    }.toSeq
-    val fields = aboutCols ++ emitted.map { c =>
-      typedValue(c, col(s"__cell_${c.name}")).as(c.name)
+
+    // template variable map, as in TripleMapper (metadata.rb:2050, 2120-2126)
+    val colVars: Seq[(String, Column)] = cols.map { c =>
+      // backticks: unnamed (virtual) columns default to `_col.N` — a bare
+      // col() reference would parse the dot as struct-field access
+      val vals = col(s"`__cell_${c.name}`").getField("vals")
+      val v =
+        if (c.separator.isDefined) transform(vals, x => x.getField("lex"))
+        else coalesce(element_at(vals, 1).getField("lex"), lit(""))
+      c.name -> v
     }
-    staged.select(
-      to_json(struct(fields: _*), Map("ignoreNullFields" -> "true")).as("json"),
-      col("__rownum"), col("__srcnum"))
+    val rowVars: Seq[(String, Column)] = Seq(
+      "_row" -> col("__rownum").cast("string"),
+      "_sourceRow" -> col("__srcnum").cast("string"))
+    def expand(t: graft.core.UriTemplate.Compiled, c: ResolvedColumn): Column = {
+      val cellVars = Seq(
+        "_name" -> lit(Iri.pctDecode(c.name)),
+        "_column" -> lit(c.number.toString),
+        "_sourceColumn" -> lit(c.sourceNumber.toString))
+      val used = t.parts.collect { case graft.core.UriTemplate.Expr(_, vs) => vs.map(_.name) }.flatten.toSet
+      CsvwFunctions.uriTemplate(t, table.url, (colVars ++ rowVars ++ cellVars).filter(v => used.contains(v._1)))
+    }
+
+    val nullS = lit(null).cast("string")
+    val perCol: Seq[Column] = cols.map { c =>
+      struct(
+        col(s"`__cell_${c.name}`").as("cell"),
+        c.aboutUrl.map(expand(_, c)).getOrElse(nullS).as("about"),
+        c.propertyUrl.map(expand(_, c)).getOrElse(nullS).as("prop"),
+        c.valueUrl.map(expand(_, c)).getOrElse(nullS).as("value"))
+    }
+    val jcols = cols.map(c => JCol(Iri.pctDecode(c.name), c.suppressOutput, c.virtual,
+      c.datatypeBase, c.separator.isDefined, c.valueUrl.isDefined,
+      table.rowTitles.contains(c.name)))
+    val tableUrl = table.url
+
+    val narrow = staged.select(
+      col("__rownum") +: col("__srcnum") +: perCol: _*)
+    narrow.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      it.map { row =>
+        val rn = row.getLong(0)
+        val src = row.getLong(1)
+        val (rowNode, describes) =
+          buildRow(mapper, tableUrl, jcols, rn, src, i => row.getStruct(2 + i))
+        AssembledRow(mapper.writeValueAsString(rowNode),
+          describes.map(mapper.writeValueAsString), rn, src)
+      }
+    }(Encoders.product[AssembledRow]).toDF()
   }
+
+  /** One row's assembly, transcribing `reader.rb:543-620`. */
+  private def buildRow(mapper: ObjectMapper, tableUrl: String, jcols: Seq[JCol],
+                       rn: Long, src: Long,
+                       colData: Int => Row): (ObjectNode, Seq[ObjectNode]) = {
+    // subject -> describes object, in first-use order
+    val a = new java.util.LinkedHashMap[String, ObjectNode]()
+    // valueUrl -> (parent object, property, reference count)
+    final case class Ref(co: ObjectNode, prop: String, var count: Int)
+    val refs = new java.util.LinkedHashMap[String, Ref]()
+    val titles = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    jcols.zipWithIndex.foreach { case (c, i) =>
+      val data = colData(i)
+      val cell = data.getStruct(data.fieldIndex("cell"))
+      val vals = cell.getSeq[Row](cell.fieldIndex("vals"))
+      val isNull = cell.getBoolean(cell.fieldIndex("isNull"))
+      if (c.isTitle) vals.foreach(v => titles += v.getString(0))
+      val about = data.getString(data.fieldIndex("about"))
+      val propUrl = data.getString(data.fieldIndex("prop"))
+      val valueUrl = data.getString(data.fieldIndex("value"))
+      // cell.valueUrl is nil when the cell is null on a non-virtual column
+      // (metadata.rb:1960-1961)
+      val cellValueUrl = if (c.hasValueUrl && !(isNull && !c.virtual)) valueUrl else null
+
+      val skip = c.suppressOutput ||
+        (c.hasValueUrl && cellValueUrl == null) ||
+        (!c.hasValueUrl && c.isList && vals.isEmpty) ||
+        (!c.hasValueUrl && !c.isList && isNull)
+      if (!skip) {
+        val subject = if (about == null) "null" else about
+        val co = a.computeIfAbsent(subject, s => {
+          val n = mapper.createObjectNode()
+          if (s != "null") n.put("@id", s)
+          n
+        })
+        val prop =
+          if (propUrl == null) c.name
+          else if (propUrl == RdfType) "@type"
+          else Iri.compactIri(propUrl)
+        val valueNodes: Seq[JsonNode] =
+          if (prop == "@type")
+            Seq(TextNode.valueOf(Iri.compactIri(
+              if (cellValueUrl != null) cellValueUrl else vals.head.getString(0))))
+          else if (c.hasValueUrl) {
+            if (subject != cellValueUrl) {
+              val r = refs.computeIfAbsent(cellValueUrl, _ => Ref(co, prop, 0))
+              r.count += 1
+            }
+            Seq(TextNode.valueOf(cellValueUrl))
+          } else if (c.isList)
+            Seq(listNode(mapper, c, vals))
+          else
+            Seq(typedNode(c, vals.head.getString(0), vals.head.getBoolean(1)))
+        valueNodes.foreach(v => mergeCompacted(mapper, co, prop, v))
+      }
+    }
+
+    // single-reference nesting (reader.rb:605-614)
+    refs.forEach { (valueUrl, ref) =>
+      if (ref.count == 1 && a.containsKey(valueUrl)) {
+        val existing = ref.co.get(ref.prop)
+        val nested = a.remove(valueUrl)
+        existing match {
+          case arr: ArrayNode =>
+            val out = mapper.createArrayNode()
+            arr.forEach { e =>
+              if (e.isTextual && e.asText() == valueUrl) out.add(nested) else out.add(e)
+            }
+            if (out.size() == 1) ref.co.set[com.fasterxml.jackson.databind.JsonNode](ref.prop, out.get(0))
+            else ref.co.set[com.fasterxml.jackson.databind.JsonNode](ref.prop, out)
+          case e if e != null && e.isTextual && e.asText() == valueUrl =>
+            ref.co.set[com.fasterxml.jackson.databind.JsonNode](ref.prop, nested)
+          case _ => ()
+        }
+      }
+    }
+
+    val describes = scala.collection.mutable.ArrayBuffer.empty[ObjectNode]
+    a.values().forEach(n => describes += n)
+
+    val r = mapper.createObjectNode()
+    r.put("url", s"$tableUrl#row=$src")
+    r.put("rownum", rn)
+    if (titles.nonEmpty) {
+      if (titles.length == 1) r.put("titles", titles.head)
+      else {
+        val arr = r.putArray("titles"); titles.foreach(arr.add)
+      }
+    }
+    val dArr = r.putArray("describes")
+    describes.foreach(dArr.add)
+    (r, describes.toSeq)
+  }
+
+  private def listNode(mapper: ObjectMapper, c: JCol, vals: Seq[Row]): JsonNode = {
+    val arr = mapper.createArrayNode()
+    vals.foreach(v => arr.add(typedNode(c, v.getString(0), v.getBoolean(1))))
+    arr
+  }
+
+  /** Native JSON typing per `reader.rb:585-600`: integer family →
+    * arbitrary-precision integer (no Long-overflow nulls), other numerics →
+    * double (NaN/INF stay strings, as the reference keeps the literal),
+    * boolean → boolean; invalid cells (`ok=false`) degrade to the string
+    * lexical, never dropped.
+    */
+  private def typedNode(c: JCol, lex: String, ok: Boolean): JsonNode = {
+    if (!ok) return TextNode.valueOf(lex)
+    if (c.base == "boolean")
+      com.fasterxml.jackson.databind.node.BooleanNode.valueOf(lex == "true")
+    else if (Xsd.IntegerBases.contains(c.base))
+      try com.fasterxml.jackson.databind.node.BigIntegerNode.valueOf(new java.math.BigInteger(lex))
+      catch { case _: NumberFormatException => TextNode.valueOf(lex) }
+    else if (Xsd.NumericBases.contains(c.base)) {
+      val d = try lex.toDouble catch { case _: NumberFormatException => Double.NaN }
+      if (d.isNaN || d.isInfinite) TextNode.valueOf(lex)
+      else com.fasterxml.jackson.databind.node.DoubleNode.valueOf(d)
+    } else TextNode.valueOf(lex)
+  }
+
+  /** `merge_compacted_value`: absent → scalar; present → array append. */
+  private def mergeCompacted(mapper: ObjectMapper, co: ObjectNode,
+                             prop: String, v: JsonNode): Unit =
+    co.get(prop) match {
+      case null => co.set[com.fasterxml.jackson.databind.JsonNode](prop, v)
+      case arr: ArrayNode => arr.add(v)
+      case prev =>
+        val arr = mapper.createArrayNode(); arr.add(prev); arr.add(v)
+        co.set[com.fasterxml.jackson.databind.JsonNode](prop, arr)
+    }
 
   /** Standard-mode JSON document (`reader.rb:456-637` `to_hash`):
     * `{"tables":[{"url":…,"row":[{"url":"#row=N","rownum":n,"describes":[…]}]}]}`.
     * Driver-side assembly — the reference's standard output is a single
-    * document, so this is inherently document-sized; the per-row describes
-    * objects are still computed distributed via [[minimalRows]].
+    * document, so this is inherently document-sized; the per-row objects are
+    * still computed distributed via [[describedRows]].
     */
   def standardDocument(tables: Seq[(ResolvedTable, DataFrame)]): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val tablesArr = root.putArray("tables")
     tables.foreach { case (t, described) =>
@@ -116,12 +267,7 @@ object JsonOutput {
       val rowArr = tNode.putArray("row")
       described.select(col("json"), col("__rn"), col("__src"))
         .collect().sortBy(_.getLong(1))
-        .foreach { r =>
-          val rowNode = rowArr.addObject()
-          rowNode.put("url", s"${t.url}#row=${r.getLong(2)}")
-          rowNode.put("rownum", r.getLong(1))
-          rowNode.putArray("describes").add(mapper.readTree(r.getString(0)))
-        }
+        .foreach(r => rowArr.add(mapper.readTree(r.getString(0))))
     }
     mapper.writeValueAsString(root)
   }

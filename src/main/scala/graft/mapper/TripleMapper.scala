@@ -98,7 +98,9 @@ object TripleMapper {
       staged = staged.withColumn(cn, CsvwFunctions.csvwCell(in, c))
     }
 
-    def cell(c: ResolvedColumn): Column = col(s"__cell_${c.name}")
+    // backticks: unnamed (virtual) columns default to `_col.N` — a bare
+    // col() reference would parse the dot as struct-field access
+    def cell(c: ResolvedColumn): Column = col(s"`__cell_${c.name}`")
     def vals(c: ResolvedColumn): Column = cell(c).getField("vals")
     def isNullCell(c: ResolvedColumn): Column = cell(c).getField("isNull")
 
@@ -273,7 +275,7 @@ object TripleMapper {
       staged = staged.withColumn(s"__cell_${c.name}", CsvwFunctions.csvwCell(in, c))
     }
     val errCols = table.columns.map { c =>
-      transform(col(s"__cell_${c.name}").getField("errs"),
+      transform(col(s"`__cell_${c.name}`").getField("errs"),
         e => struct(lit(c.name).as("column"), e.as("error")))
     }
     staged
