@@ -20,7 +20,14 @@ object CsvwPipeline {
       withProv: Boolean = false,
       provStartedAt: String = "1970-01-01T00:00:00Z",
       provEndedAt: String = "1970-01-01T00:00:00Z",
-      metadataFiles: Seq[String] = Nil)
+      metadataFiles: Seq[String] = Nil,
+      /** raw metadata JSON for document validation (`validate!`,
+        * `metadata.rb:570-830`) */
+      metadataJson: Option[String] = None,
+      /** embedded (header-derived) columns per table url for the
+        * declared↔embedded compatibility check (`verify_compatible!`,
+        * `metadata.rb:1004-1087`) */
+      embeddedColumns: Map[String, List[ColumnMeta]] = Map.empty)
 
   /** One table's bound input: rows plus the columns that drive numbering and
     * skolemization. For CSV sources these come from
@@ -38,7 +45,34 @@ object CsvwPipeline {
       triples: DataFrame,
       cellErrors: DataFrame,
       pkViolations: Map[String, DataFrame],
-      fkViolations: Map[String, DataFrame])
+      fkViolations: Map[String, DataFrame],
+      metadata: CsvwValidate.Report = CsvwValidate.Report.empty) {
+
+    /** Per-partition, per-column cell-error metrics rows (A5): lineage-style
+      * counters a monitoring sink can consume every stage.
+      */
+    def cellErrorStats: DataFrame =
+      cellErrors.groupBy(spark_partition_id().as("partition_id"), col("column"))
+        .agg(count(lit(1)).as("errors"))
+
+    /** Per-severity counts — the reference's `log_statistics[:error]` gate
+      * (`reader.rb:440-443`). Triggers a count job on the error side-output.
+      */
+    def severityCounts: Map[String, Long] = Map(
+      "metadata_warning" -> metadata.warnings.size.toLong,
+      "metadata_error" -> metadata.errors.size.toLong,
+      "cell_error" -> cellErrors.count())
+
+    /** Validate-mode exit gate: raise if any error-severity count is
+      * non-zero, as `raise Error, "Errors found during processing"` does.
+      */
+    def raiseOnErrors(): Unit = {
+      val bad = severityCounts.filter { case (k, v) => k.endsWith("_error") && v > 0 }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"Errors found during processing: $bad; metadata errors: ${metadata.errors}")
+    }
+  }
 
   def run(spark: SparkSession, group: TableGroupMeta,
           bind: Map[String, BoundTable], opts: Options = Options()): Result = {
@@ -123,6 +157,18 @@ object CsvwPipeline {
     }.reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataFrame)
 
-    Result(allTriples, errors, pkViolations, fkViolations)
+    // metadata-document validation + declared↔embedded compatibility: the
+    // reference runs validate! before any row flows (reader.rb:465) and
+    // verify_compatible! when embedded headers exist (reader.rb:120)
+    val metaReport = {
+      val doc = opts.metadataJson.map(CsvwValidate.validate)
+        .getOrElse(CsvwValidate.Report.empty)
+      val compat = opts.embeddedColumns.toList.map { case (url, cols) =>
+        CsvwValidate.verifyCompatible(group, url, cols, strict = opts.validate)
+      }.foldLeft(CsvwValidate.Report.empty)(_ ++ _)
+      doc ++ compat
+    }
+
+    Result(allTriples, errors, pkViolations, fkViolations, metaReport)
   }
 }

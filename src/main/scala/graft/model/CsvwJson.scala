@@ -141,10 +141,13 @@ object CsvwJson {
     else if (n.isArray) n.elements().asScala.filter(_.isTextual).map(_.asText()).toList
     else Nil
 
-  /** titles may be a string, array, or language map (`metadata.rb:1138-1139`). */
-  private def titleStrings(n: JsonNode): List[String] =
-    if (n.isTextual) List(n.asText())
-    else if (n.isArray) n.elements().asScala.filter(_.isTextual).map(_.asText()).toList
-    else if (n.isObject) n.properties().asScala.toList.flatMap(e => strings(e.getValue))
+  /** titles may be a string, array, or language map (`metadata.rb:1138-1139`);
+    * normalized to ordered (lang, title) pairs with "und" for untagged.
+    */
+  private def titleStrings(n: JsonNode): List[(String, String)] =
+    if (n.isTextual) List("und" -> n.asText())
+    else if (n.isArray) n.elements().asScala.filter(_.isTextual).map("und" -> _.asText()).toList
+    else if (n.isObject) n.properties().asScala.toList
+      .flatMap(e => strings(e.getValue).map(e.getKey -> _))
     else Nil
 }

@@ -54,9 +54,14 @@ final case class Inherited(
     valueUrl = valueUrl.orElse(parent.valueUrl))
 }
 
+/** `titles` is an ordered language map flattened to (lang, title) pairs —
+  * untagged titles carry "und" (`metadata.rb:1138-1139` natural-language
+  * normalization); languages are needed for embedded-metadata compatibility
+  * matching and lang-tagged title output.
+  */
 final case class ColumnMeta(
     name: Option[String] = None,
-    titles: List[String] = Nil,
+    titles: List[(String, String)] = Nil,
     virtual: Boolean = false,
     suppressOutput: Boolean = false,
     inherited: Inherited = Inherited())
@@ -168,11 +173,16 @@ object Resolve {
     ordered = Some(false), required = Some(false), textDirection = Some("ltr"))
 
   /** Column name resolution (`metadata.rb:1619-1636`): explicit name, else
-    * URI-encoded first title, else `_col.N`.
+    * URI-encoded first title in "und" (or the column's language), else
+    * `_col.N`.
     */
-  def columnName(c: ColumnMeta, number: Int): String =
+  def columnName(c: ColumnMeta, number: Int, colLang: String = "und"): String =
     c.name
-      .orElse(c.titles.headOption.map(Iri.encodeColumnName))
+      .orElse {
+        val und = c.titles.collect { case ("und", t) => t }
+        val byLang = c.titles.collect { case (l, t) if l == colLang => t }
+        (und ++ byLang).headOption.map(Iri.encodeColumnName)
+      }
       .getOrElse(s"_col.$number")
 
   def table(tg: TableGroupMeta, t: TableMeta): ResolvedTable = {
@@ -212,7 +222,7 @@ object Resolve {
       val regexFormat =
         if (!isNumeric && !isDate && base != "boolean") fmt.flatMap(_.pattern) else None
       ResolvedColumn(
-        name = columnName(c, number),
+        name = columnName(c, number, inh.lang.getOrElse("und")),
         number = number,
         sourceNumber = number + skip,
         datatypeBase = base,

@@ -121,9 +121,11 @@ object CsvDialectSource extends Serializable {
     ExactResult(spark.createDataFrame(padded, schema), headerTitles, comments)
   }
 
-  /** Embedded metadata: header titles → ColumnMeta list (`metadata.rb:1794-1888`). */
-  def embeddedColumns(headerTitles: List[List[String]]): List[ColumnMeta] =
-    headerTitles.map(ts => ColumnMeta(titles = ts))
+  /** Embedded metadata: header titles → ColumnMeta list (`metadata.rb:1794-1888`);
+    * titles carry the content language when declared (`metadata.rb:1812`).
+    */
+  def embeddedColumns(headerTitles: List[List[String]], lang: String = "und"): List[ColumnMeta] =
+    headerTitles.map(ts => ColumnMeta(titles = ts.map(lang -> _)))
 
   /** Minimal RFC 4180 line parser honoring quoteChar/doubleQuote. */
   def parseCsvLine(line: String, delim: String, quote: Char, doubleQuote: Boolean): Array[String] = {

@@ -133,7 +133,8 @@ class CsvDialectSourceSpec extends AnyFunSuite {
     assert(rows(1).getLong(0) == 2 && rows(1).getLong(1) == 8)
     // trim default "true"
     assert(rows(1).getString(3) == "r2b")
-    assert(CsvDialectSource.embeddedColumns(res.headerTitles).head.titles == List("h1a", "h2a"))
+    assert(CsvDialectSource.embeddedColumns(res.headerTitles).head.titles ==
+      List("und" -> "h1a", "und" -> "h2a"))
   }
 
   test("quoted fields with doubled quotes") {
