@@ -72,6 +72,14 @@ object Bench {
       Seq("-cp", cp, "graft.BenchWorker", cores.toString, corpus, "full") ++
       (if (noWarm) Seq("nowarm") else Seq.empty))
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    // local-cluster executors are launched through the standalone Worker,
+    // which resolves the Spark distribution from SPARK_HOME
+    pb.environment().put("SPARK_HOME",
+      sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+    pb.environment().put("SPARK_LOCAL_IP", "127.0.0.1")
+    // the executor command builder needs the Scala suffix when not launched
+    // through the distribution's env scripts
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()

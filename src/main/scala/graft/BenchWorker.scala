@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
 object BenchWorker {
 
   def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    // GRAFT_BENCH_MASTER=lc runs a LOCAL CLUSTER: cores/4 real executor JVMs
+    // with 4 cores + their own heap each — the faithful N vs 4N proxy (a
+    // real cluster scales memory and GC capacity with executor count; a
+    // single fixed-heap JVM starves per-core memory at the high end and
+    // under-reports scaling efficiency).
+    val lc = sys.env.get("GRAFT_BENCH_MASTER").contains("lc")
+    val coresPerExec = 4
+    val execMemMb = sys.env.getOrElse("GRAFT_BENCH_EXEC_MEM_MB", "4096").toInt
+    val master =
+      if (lc) s"local-cluster[${math.max(cores / coresPerExec, 1)},$coresPerExec,$execMemMb]"
+      else s"local[$cores]"
+    val b = SparkSession.builder()
+      .master(master)
       .appName(s"graft-bench-worker-$cores")
       .config("spark.sql.shuffle.partitions", cores * 2)
       .config("spark.sql.adaptive.enabled", "true")
@@ -25,7 +36,22 @@ object BenchWorker {
       // has millions of splits; config identical for both runs).
       .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
-      .getOrCreate()
+    if (lc) {
+      // executor JVMs need the library classes (custom Catalyst expressions)
+      // and the JDK17 module opens the driver gets from build.sbt
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+      b.config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions", addOpens)
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -464,6 +464,24 @@ object SparkEntry {
       val dialect = graft.model.DialectMeta(delimiter = ";", commentPrefix = Some("#"),
         skipRows = 1)
       graft.sources.CsvDialectSource.readExact(s, tmp.toString, dialect).rows
+    }),
+
+    // ---- HTML table scan (S2): fragment-selected table, th header row,
+    // fixture-verified numbering (logical over data rows, source = tr index)
+    "s2_html_table" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempFile("graft_html", ".html")
+      val rows = t(s, d, "region").select(col("r_regionkey").cast("long"), col("r_name"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => s"<tr><td>${r.getLong(0)}</td><td>${r.getString(1)}</td></tr>")
+      val content =
+        s"""<html><body>
+           |<table id="other"><tr><th>x</th></tr><tr><td>ignored</td></tr></table>
+           |<table id="regions"><caption>Regions</caption>
+           |<tr><th>key</th><th>name</th></tr>
+           |${rows.mkString("\n")}
+           |</table></body></html>""".stripMargin
+      java.nio.file.Files.writeString(tmp, content)
+      graft.sources.HtmlTableSource.readTable(s, tmp.toString, Some("regions")).rows
     }))
 
   // -------------------------------------------------------------- oracle SQL
@@ -787,6 +805,14 @@ object SparkEntry {
         |  CAST(r_regionkey AS VARCHAR) AS _c1, r_name AS _c2
         |FROM region""".stripMargin,
 
+    // header tr is source row 1; data rows follow (countries_html fixture
+    // numbering)
+    "s2_html_table" ->
+      """SELECT CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS _row,
+        |  CAST(row_number() OVER (ORDER BY r_regionkey) + 1 AS BIGINT) AS _sourceRow,
+        |  CAST(r_regionkey AS VARCHAR) AS _c1, r_name AS _c2
+        |FROM region""".stripMargin,
+
     // JSON minimal-mode round-trip: typed values, @id expansion, null-cell
     // omission, canonical dateTime lexical form
     "s7_json_minimal" ->
@@ -797,39 +823,23 @@ object SparkEntry {
          |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts
          |FROM transcripts""".stripMargin,
 
-    // multimodal decode-stub oracle: the stub's metadata is a deterministic
-    // function of md5(doc_id) — Java Arrays.hashCode(byte[16]) is replayed in
-    // SQL as the 31-polynomial over signed bytes in HUGEINT, reduced mod 2^32
-    "m1_multimodal_decode" -> {
-      val pow31 = List(
-        "23465261991844685929951", "756943935220796320321",
-        "24417546297445042591", "787662783788549761", "25408476896404831",
-        "819628286980801", "26439622160671", "852891037441", "27512614111",
-        "887503681", "28629151", "923521", "29791", "961", "31", "1")
-      def byteExpr(i: Int) =
-        s"((strpos('0123456789abcdef', substr(hx, ${2 * i - 1}, 1)) - 1) * 16 + " +
-        s"strpos('0123456789abcdef', substr(hx, ${2 * i}, 1)) - 1)"
-      val terms = (1 to 16).map { i =>
-        val b = byteExpr(i)
-        s"(CASE WHEN $b > 127 THEN $b - 256 ELSE $b END) * CAST(${pow31(i - 1)} AS HUGEINT)"
-      }.mkString("\n    + ")
-      s"""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
-         |j AS (SELECT doc_id, (CAST(727423121747185263828481 AS HUGEINT)
-         |    + $terms) AS poly FROM h),
-         |k AS (SELECT doc_id,
-         |        CAST(((poly % 4294967296) + 4294967296) % 4294967296 AS BIGINT) AS u32
-         |      FROM j),
-         |m AS (SELECT doc_id,
-         |        CASE WHEN u32 >= 2147483648 THEN u32 - 4294967296 ELSE u32 END AS hsh
-         |      FROM k)
-         |SELECT doc_id,
-         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-         |  CAST(abs(hsh % 512) + 16 AS INT) AS width,
-         |  CAST((abs(hsh % 512) + 16) // 2 AS INT) AS height,
-         |  CASE WHEN doc_id % 3 = 2 THEN CAST(abs(hsh % 240) + 1 AS INT)
-         |       ELSE 1 END AS n_frames
-         |FROM m""".stripMargin
-    },
+    // the planted container-header fields are integer functions of doc_id,
+    // so the oracle verifies the PNG/WAV/AVI byte-level encode→sniff→parse
+    // round trip exactly
+    "m1_multimodal_decode" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 1 THEN 8000 + (doc_id % 5) * 8000
+        |    ELSE (doc_id * 7) % 512 + 16 END AS INT) AS width,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 1 THEN doc_id % 2 + 1
+        |    ELSE (doc_id * 13) % 512 + 16 END AS INT) AS height,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 1
+        |    WHEN 1 THEN doc_id % 1000 + 1
+        |    ELSE doc_id % 240 + 1 END AS INT) AS n_frames
+        |FROM documents""".stripMargin,
 
     "k1_salted_agg" ->
       s"""$trCte

@@ -3,57 +3,158 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, processed in partition-sized batches.
+/** Multimodal-column processing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded in partition-sized batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * libraries in this container); the Spark-side plumbing — schema, batch
-  * iteration, partitioning, output shape — is real and tested, and a real
-  * decoder drops into [[decodeStub]] without touching the plan.
+  * The decode is REAL binary parsing of three public container formats —
+  * PNG (IHDR, big-endian), WAV (RIFF/fmt/data, little-endian) and AVI
+  * (RIFF/avih main header, little-endian) — sniffed by magic bytes, not by
+  * trusting any metadata column. Full-frame pixel/sample decoding would
+  * need codec libraries this container doesn't ship; header/metadata
+  * extraction is the portion that is honestly implementable and is what the
+  * schema/partitioning plumbing is exercised with. A full codec drops into
+  * [[decode]]'s per-partition loop without touching the plan.
   */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** For images/video: pixel dimensions + frame count; for audio: width =
+    * sample rate, height = channels, n_frames = sample count.
+    */
   final case class DecodedRow(doc_id: Long, media_type: String, width: Int,
                               height: Int, n_frames: Int, feature: Array[Float])
 
-  /** Attach a synthetic binary payload column to a keyed table (test/bench
-    * harness for the decode path; deterministic, SQL-replicable function of
-    * the key so the DuckDB oracle can reproduce the whole decode output).
-    */
-  def withSyntheticPayload(df: DataFrame, idCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col(idCol).cast("long") % 3 + 1).cast("int")).as("media_type"),
-      to_binary(md5(col(idCol).cast("string")), lit("hex")).as("payload"))
+  // ------------------------------------------------------------- byte utils
 
-  /** STUB decode: === replace this body with a real codec ===
-    * Deterministic fake "decode" deriving metadata + an 8-dim feature vector
-    * from the payload bytes. Runs via mapPartitions so a real decoder gets
-    * batch-per-partition amortization (codec init once per partition, the
-    * same shape `mapInPandas` gives Python codecs).
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  // --------------------------------------------------------------- encoders
+
+  /** Minimal valid PNG prefix: signature + IHDR chunk. */
+  def pngBytes(width: Int, height: Int): Array[Byte] =
+    PngSig ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0)
+
+  /** Minimal valid WAV: RIFF/WAVE with a PCM fmt chunk and an empty-bodied
+    * data chunk declaring `samples` frames.
     */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+  def wavBytes(sampleRate: Int, channels: Int, samples: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = samples * blockAlign
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataSize) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(dataSize)
+  }
+
+  /** Minimal valid AVI prefix: RIFF/AVI with the `avih` main header
+    * (dwTotalFrames, dwWidth, dwHeight populated).
+    */
+  def aviBytes(width: Int, height: Int, totalFrames: Int): Array[Byte] = {
+    val avih = le32(33366) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(totalFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(avih.length) ++ avih
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + hdrl.length) ++ "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(hdrl.length) ++ hdrl
+  }
+
+  // ---------------------------------------------------------------- decoder
+
+  /** Sniff the container by magic bytes and parse its metadata header.
+    * Unknown payloads decode to ("unknown", 0, 0, 0).
+    */
+  def decodeHeader(b: Array[Byte]): (String, Int, Int, Int) = {
+    if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+        new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+      ("image", readBe32(b, 16), readBe32(b, 20), 1)
+    else if (b.length >= 44 && new String(b.take(4), "US-ASCII") == "RIFF" &&
+             new String(b.slice(8, 12), "US-ASCII") == "WAVE") {
+      val channels = readLe16(b, 22)
+      val sampleRate = readLe32(b, 24)
+      val blockAlign = readLe16(b, 32)
+      val dataSize = readLe32(b, 40)
+      ("audio", sampleRate, channels, if (blockAlign > 0) dataSize / blockAlign else 0)
+    } else if (b.length >= 12 && new String(b.take(4), "US-ASCII") == "RIFF" &&
+               new String(b.slice(8, 12), "US-ASCII") == "AVI ") {
+      // locate the avih chunk inside the hdrl LIST
+      var i = 12
+      var out = ("video", 0, 0, 0)
+      var found = false
+      while (!found && i + 8 <= b.length) {
+        val tag = new String(b.slice(i, i + 4), "US-ASCII")
+        if (tag == "LIST") i += 12 // descend into the list body (skip type)
+        else {
+          val size = readLe32(b, i + 4)
+          if (tag == "avih" && i + 8 + 40 <= b.length) {
+            out = ("video", readLe32(b, i + 8 + 32), readLe32(b, i + 8 + 36), readLe32(b, i + 8 + 16))
+            found = true
+          } else i += 8 + size
+        }
+      }
+      out
+    } else ("unknown", 0, 0, 0)
+  }
+
+  /** Deterministic 8-dim feature from the payload bytes (stride sums) —
+    * stands in for an embedding; real computation over the real bytes.
+    */
+  private def feature(b: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](8)
+    var i = 0
+    while (i < b.length) { f(i % 8) += (b(i) & 0xff) / 255f; i += 1 }
+    f
+  }
+
+  /** Synthesize a corpus of real container payloads keyed by `idCol`: PNG /
+    * WAV / AVI round-robin, with header fields that are pure integer
+    * functions of the key — so an oracle can predict the decoded metadata
+    * and thereby verify the byte-level encode→parse round trip.
+    */
+  def withSyntheticPayload(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long].map { id =>
+      val payload = (id % 3) match {
+        case 0 => pngBytes((id * 7 % 512 + 16).toInt, (id * 13 % 512 + 16).toInt)
+        case 1 => wavBytes((8000 + id % 5 * 8000).toInt, (id % 2 + 1).toInt, (id % 1000 + 1).toInt)
+        case _ => aviBytes((id * 7 % 512 + 16).toInt, (id * 13 % 512 + 16).toInt, (id % 240 + 1).toInt)
+      }
+      MediaRow(id, Seq("image", "audio", "video")((id % 3).toInt), payload)
+    }
+  }
+
+  /** Partition-batched decode: codec state initializes once per partition
+    * (the same amortization shape `mapInPandas` gives Python codecs); the
+    * media_type column is ignored — format comes from the bytes.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: initialize codec here, once per partition
+      // real impl note: heavyweight codec contexts would initialize here
       it.map { m =>
-        val h = java.util.Arrays.hashCode(m.payload)
-        val dim = math.abs(h % 512) + 16
-        DecodedRow(
-          doc_id = m.doc_id,
-          media_type = m.media_type,
-          width = dim,
-          height = dim / 2,
-          n_frames = if (m.media_type == "video") math.abs(h % 240) + 1 else 1,
-          feature = Array.tabulate(8)(i => ((h >> i) & 0xff).toFloat / 255f))
+        val (kind, w, h, frames) = decodeHeader(m.payload)
+        DecodedRow(m.doc_id, kind, w, h, frames, feature(m.payload))
       }
     }
   }
 
-  /** Full plumbing: synthesize payloads → decode → typed metadata frame. */
-  def decodePipeline(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
-    import spark.implicits._
-    decodeStub(withSyntheticPayload(df, idCol).as[MediaRow]).toDF()
-  }
+  /** Full plumbing: synthesize payloads → sniff + parse → typed metadata. */
+  def decodePipeline(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+    decode(withSyntheticPayload(df, idCol)).toDF()
 }

@@ -218,13 +218,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(top == Set((1L, 1), (2L, 2)))
   }
 
-  test("multimodal decode plumbing: deterministic shapes") {
-    val df = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "t")
+  test("multimodal decode: real PNG/WAV/AVI headers round-trip") {
+    val df = Seq((0L, "png"), (1L, "wav"), (2L, "avi")).toDF("doc_id", "t")
     val out = Multimodal.decodePipeline(spark, df, "doc_id")
-    val rows = out.collect()
-    assert(rows.length == 2)
-    val again = Multimodal.decodePipeline(spark, df, "doc_id").collect()
-    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+      .select("doc_id", "media_type", "width", "height", "n_frames")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    // header fields are integer functions of doc_id (see withSyntheticPayload)
+    assert(out(0) == ((0L, "image", 16, 16, 1)))
+    assert(out(1) == ((1L, "audio", 16000, 2, 2)))
+    assert(out(2) == ((2L, "video", 30, 42, 3)))
+  }
+
+  test("decodeHeader sniffs by magic, not by labels; unknown bytes degrade") {
+    assert(Multimodal.decodeHeader(Multimodal.pngBytes(640, 480)) == (("image", 640, 480, 1)))
+    assert(Multimodal.decodeHeader(Multimodal.wavBytes(44100, 2, 1000)) == (("audio", 44100, 2, 1000)))
+    assert(Multimodal.decodeHeader(Multimodal.aviBytes(1920, 1080, 240)) == (("video", 1920, 1080, 240)))
+    assert(Multimodal.decodeHeader("not media".getBytes)._1 == "unknown")
   }
 }
 

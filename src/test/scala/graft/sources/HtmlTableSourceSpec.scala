@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML table scan (S2) against structures lifted from the reference's
+  * fixtures (`spec/data/countries.html`, `spec/data/tree-ops.html`); the
+  * numbering expectation comes from `countries_html-standard.ttl`
+  * (rownum 1..3, row url #row=2..4).
+  */
+class HtmlTableSourceSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+
+  private val countriesHtml = """<html><body>
+    <table id="countries">
+      <caption>Countries</caption>
+      <tr><th>countryCode</th><th>latitude</th><th>longitude</th><th>name</th></tr>
+      <tr><td>AD</td><td>42.5</td><td>1.6</td><td>Andorra</td></tr>
+      <tr><td>AE</td><td>23.4</td><td>53.8</td><td>United Arab Emirates</td></tr>
+      <tr><td>AF</td><td>33.9</td><td>67.7</td><td>Afghanistan</td></tr>
+    </table>
+    <table id="country_slice">
+      <caption>Country Slice</caption>
+      <tr><th>countryRef</th><th>year</th><th>population</th></tr>
+      <tr><td>AF</td><td>1960</td><td>9616353</td></tr>
+    </table></body></html>"""
+
+  test("fragment-selected table with header titles and data rows") {
+    val (titles, rows) = HtmlTableSource.extract(countriesHtml, Some("countries"))
+    assert(titles == List(List("countryCode"), List("latitude"), List("longitude"), List("name")))
+    assert(rows.map(_._2.head) == List("AD", "AE", "AF"))
+    // source row = tr position (header is tr 1)
+    assert(rows.map(_._1) == List(2L, 3L, 4L))
+  }
+
+  test("second fragment selects the other table; missing fragment throws") {
+    val (_, rows) = HtmlTableSource.extract(countriesHtml, Some("country_slice"))
+    assert(rows.map(_._2) == List(List("AF", "1960", "9616353")))
+    intercept[IllegalArgumentException] {
+      HtmlTableSource.extract(countriesHtml, Some("nope"))
+    }
+  }
+
+  test("readTable produces readExact-shaped rows with logical/source numbering") {
+    val tmp = java.nio.file.Files.createTempFile("graft_html_spec", ".html")
+    java.nio.file.Files.writeString(tmp, countriesHtml)
+    val res = HtmlTableSource.readTable(spark, tmp.toString, Some("countries"))
+    val rows = res.rows.orderBy("_row").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L && rows(0).getString(2) == "AD")
+    assert(rows(2).getLong(0) == 3L && rows(2).getLong(1) == 4L && rows(2).getString(5) == "Afghanistan")
+    assert(res.headerTitles == List(List("countryCode"), List("latitude"), List("longitude"), List("name")))
+  }
+
+  test("entities unescape and nested tags strip in cells") {
+    val html = """<table><tr><th>h</th></tr><tr><td> <b>A &amp; B</b> &lt;x&gt; </td></tr></table>"""
+    val (_, rows) = HtmlTableSource.extract(html, None)
+    assert(rows.head._2 == List("A & B <x>"))
+  }
+
+  test("embedded csvm+json script metadata extraction (tree-ops.html pattern)") {
+    val html = """<html><head>
+      <script type="application/csvm+json">
+      {"url": "tree-ops.csv", "tableSchema": {"columns": [{"name": "GID"}]}}
+      </script></head><body></body></html>"""
+    val meta = HtmlTableSource.scriptMetadata(html)
+    assert(meta.isDefined)
+    val tg = graft.model.CsvwJson.parseTableGroup(meta.get)
+    assert(tg.tables.head.url == "tree-ops.csv")
+    assert(tg.tables.head.tableSchema.get.columns.head.name.contains("GID"))
+  }
+}
