@@ -296,13 +296,12 @@ object SparkEntry {
       ConnectedComponents.run(s, edges)
     }),
 
-    "g1_graph_materialize" -> ((s, d) => {
-      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // full-row distinct plans as a group-only hash aggregate: map-side
+    // partial dedup before the exchange, no first()-carrier sort aggregate
+    "g1_graph_materialize" -> ((s, d) =>
       transcriptTriples(s, d, minimal = true)
-        .repartition(n, col("subj"), col("pred"), col("obj"))
-        .dropDuplicates(Seq("subj", "pred", "obj"))
-        .sortWithinPartitions("subj", "pred", "obj")
-    }),
+        .dropDuplicates()
+        .sortWithinPartitions("subj", "pred", "obj")),
 
     // ---- dedup suite (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding)
     "d1_dedup_exact" -> ((s, d) =>

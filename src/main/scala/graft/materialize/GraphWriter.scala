@@ -16,22 +16,26 @@ import java.nio.file.{Files, Paths}
   */
 object GraphWriter {
 
-  /** Two-stage dedup + sort + write (SURVEY.md §2.8):
-    * `repartition(hash(subj,pred,obj))` gives map-side partial dedup via
-    * `dropDuplicates` partials under AQE, then `sortWithinPartitions` keeps
-    * the global write one shuffle (no global `orderBy` — the judge-visible
-    * ordering guarantee is per-file, which is what Iceberg sorted writes do
-    * at scale too).
+  /** Two-stage dedup + sort + write (SURVEY.md §2.8): `dropDuplicates` over
+    * ALL columns plans as a group-only hash aggregate — the partial
+    * (map-side) stage dedups before its own exchange, so the shuffle
+    * carries ~distinct rows. (Round 1 repartitioned explicitly first — the
+    * user exchange shipped every duplicate AND blocked the partial — and
+    * deduped on (s,p,o) only, which forced first()-carrier SortAggregates
+    * for the remaining columns; full-row distinct is also the RDF-correct
+    * key, since identical (s,p,o) strings with different lang/datatype are
+    * different statements.) `sortWithinPartitions` then sorts the
+    * agg-partitioned output per file — the ordering guarantee Iceberg
+    * sorted writes give at scale; no global orderBy range exchange.
     */
   def writeTriples(triples: DataFrame, path: String, partitions: Int = 0): Unit = {
-    val n = if (partitions > 0) partitions
-            else triples.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val deduped = triples
-      .repartition(n, col("subj"), col("pred"), col("obj"))
-      .dropDuplicates(Seq("subj", "pred", "obj"))
-      .sortWithinPartitions("subj", "pred", "obj")
+    val spark = triples.sparkSession
+    val deduped0 = triples.dropDuplicates()
+    val deduped =
+      (if (partitions > 0) deduped0.repartition(partitions) else deduped0)
+        .sortWithinPartitions("subj", "pred", "obj")
     deduped.write.mode(SaveMode.Overwrite).parquet(path)
-    writeLineage(triples.sparkSession, path)
+    writeLineage(spark, path)
   }
 
   private def writeLineage(spark: SparkSession, path: String): Unit = {
