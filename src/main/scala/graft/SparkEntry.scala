@@ -29,6 +29,7 @@ object SparkEntry {
       "aboutUrl": "urn:conv:{conv_id}/turn/{turn_idx}",
       "propertyUrl": "https://example.org/transcript#{_name}",
       "primaryKey": ["conv_id", "turn_idx"],
+      "rowTitles": ["text"],
       "columns": [
         {"name": "conv_id", "datatype": "string"},
         {"name": "turn_idx", "datatype": "integer"},
@@ -517,13 +518,15 @@ object SparkEntry {
       val C = "http://www.w3.org/ns/csvw#"
       val R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
       s"""$trCte, rowres AS (
-         |  SELECT conv_id, turn_idx,
+         |  SELECT conv_id, turn_idx, text,
          |    '_:r' || conv_id || '-' || CAST(turn_idx AS VARCHAR) AS rr,
          |    'urn:conv:' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS about
          |  FROM transcripts)
          |$minimalTriplesSelect
          | UNION ALL
          |SELECT '_:table1', '${C}row', rr, TRUE, NULL, NULL FROM rowres
+         | UNION ALL
+         |SELECT rr, '${C}title', text, FALSE, NULL, NULL FROM rowres
          | UNION ALL
          |SELECT rr, '${C}rownum', CAST(turn_idx + 1 AS VARCHAR), FALSE, NULL, '${X}integer' FROM rowres
          | UNION ALL
