@@ -466,6 +466,147 @@ object SparkEntry {
       graft.sources.CsvDialectSource.readExact(s, tmp.toString, dialect).rows
     }),
 
+    // ---- boolean format (F5): "Y|N" through the cell pipeline
+    "f5_boolean_format" -> ((s, d) => {
+      val json = """{"url":"http://e/t","tableSchema":{"columns":[
+        {"name":"v","datatype":{"base":"boolean","format":"Y|N"}}]}}"""
+      val tbl = Resolve.group(CsvwJson.parseTableGroup(json)).head
+      t(s, d, "region")
+        .select(when(col("r_regionkey") % 2 === 0, "Y").otherwise("N").as("v"))
+        .withColumn("__c", graft.expr.CsvwFunctions.csvwCell(col("v"), tbl.columns.head))
+        .select(col("v"),
+          element_at(col("__c.vals"), 1).getField("lex").as("lex"),
+          element_at(col("__c.vals"), 1).getField("ok").as("ok"))
+    }),
+
+    // ---- regex format on non-core types (F6): failures degrade ok=false
+    "f6_regex_format" -> ((s, d) => {
+      val json = """{"url":"http://e/t","tableSchema":{"columns":[
+        {"name":"v","datatype":{"base":"string","format":"^[A-Z]+$"}}]}}"""
+      val tbl = Resolve.group(CsvwJson.parseTableGroup(json)).head
+      t(s, d, "region").select(col("r_name").as("v"))
+        .withColumn("__c", graft.expr.CsvwFunctions.csvwCell(col("v"), tbl.columns.head))
+        .select(col("v"), element_at(col("__c.vals"), 1).getField("ok").as("ok"))
+    }),
+
+    // ---- string length facets (F7)
+    "f7_length_facets" -> ((s, d) => {
+      val json = """{"url":"http://e/t","tableSchema":{"columns":[
+        {"name":"v","datatype":{"base":"string","minLength":5,"maxLength":6}}]}}"""
+      val tbl = Resolve.group(CsvwJson.parseTableGroup(json)).head
+      t(s, d, "region").select(col("r_name").as("v"))
+        .withColumn("__c", graft.expr.CsvwFunctions.csvwCell(col("v"), tbl.columns.head))
+        .select(col("v"), element_at(col("__c.vals"), 1).getField("ok").as("ok"))
+    }),
+
+    // ---- column-name URI encoding from titles (F10; metadata.rb:1629-1636)
+    "f10_column_name_encode" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "region").select(col("r_name")).collect().map(_.getString(0))
+        .map { title =>
+          val cm = graft.model.ColumnMeta(titles = List("und" -> title))
+          (title, Resolve.columnName(cm, 1))
+        }.toSeq.toDF("title", "name")
+    }),
+
+    // ---- csvw:JSON literal passthrough (F11)
+    "f11_json_literal" -> ((s, d) => {
+      val json = """{"url":"http://e/t","tableSchema":{"columns":[
+        {"name":"v","datatype":"json"}]}}"""
+      val tbl = Resolve.group(CsvwJson.parseTableGroup(json)).head
+      t(s, d, "region")
+        .select(concat(lit("""{"key": """), col("r_regionkey"), lit("}")).as("v"))
+        .withColumn("__c", graft.expr.CsvwFunctions.csvwCell(col("v"), tbl.columns.head))
+        .select(col("v"),
+          element_at(col("__c.vals"), 1).getField("lex").as("lex"),
+          lit(tbl.columns.head.datatypeIri).as("dtype"))
+    }),
+
+    // ---- skipColumns (P1): physical column dropped, numbering intact
+    "p1_skip_columns" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempFile("graft_skipcols", ".csv")
+      val rows = t(s, d, "region").select(col("r_regionkey").cast("long"), col("r_name"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => s"pad;${r.getLong(0)};${r.getString(1)}")
+      java.nio.file.Files.writeString(tmp, "skip;key;name\n" + rows.mkString("\n"))
+      val dialect = graft.model.DialectMeta(delimiter = ";", skipColumns = 1)
+      graft.sources.CsvDialectSource.readExact(s, tmp.toString, dialect).rows
+    }),
+
+    // ---- column numbering with skipColumns offset (W2)
+    "w2_column_numbering" -> ((s, d) => {
+      import s.implicits._
+      val json = """{"url":"http://e/t",
+        "dialect": {"skipColumns": 2},
+        "tableSchema":{"columns":[
+          {"name":"a"},{"name":"b"},{"name":"c"}]}}"""
+      val tbl = Resolve.group(CsvwJson.parseTableGroup(json)).head
+      tbl.columns.map(c => (c.name, c.number, c.sourceNumber)).toDF("name", "number", "source_number")
+    }),
+
+    // ---- common properties → triples (T4; metadata.rb:923-981)
+    "t4_common_properties" -> ((s, d) => {
+      import s.implicits._
+      val trs =
+        graft.mapper.Annotations.commonProperty("_:tg", "dc:title",
+          """{"@value": "Tree Operations", "@language": "en"}""", "a") ++
+        graft.mapper.Annotations.commonProperty("_:tg", "dcat:keyword",
+          """["tree", "street"]""", "b") ++
+        graft.mapper.Annotations.commonProperty("_:tg", "dc:license",
+          """{"@id": "http://opendefinition.org/licenses/cc-by/"}""", "c") ++
+        graft.mapper.Annotations.commonProperty("_:tg", "notes",
+          """"plain note"""", "d")
+      trs.toDF()
+    }),
+
+    // ---- provenance activity (T5; reader.rb:234-261, injected timestamps)
+    "t5_provenance" -> ((s, d) => {
+      import s.implicits._
+      graft.mapper.Annotations.provenance("_:tg",
+        tableUrls = Seq("http://example.org/transcripts"),
+        metadataFiles = Seq("http://example.org/transcripts-metadata.json"),
+        startedAt = "2026-01-01T00:00:00Z", endedAt = "2026-01-01T00:00:01Z").toDF()
+    }),
+
+    // ---- metadata discovery precedence (S4): user-supplied beats
+    // {+url}-metadata.json beats .well-known/csvm templates beats synthesis
+    "s4_discovery" -> ((s, d) => {
+      import s.implicits._
+      import java.nio.file.Files
+      def mkCsv(dir: java.nio.file.Path): java.nio.file.Path = {
+        val f = dir.resolve("f.csv"); Files.writeString(f, "a\n1\n"); f
+      }
+      def meta(url: String) = s"""{"url": "$url", "tableSchema": {"columns": [{"name": "a"}]}}"""
+      // scenario 1: {+url}-metadata.json default template
+      val d1 = Files.createTempDirectory("graft_disc1"); val c1 = mkCsv(d1)
+      Files.writeString(java.nio.file.Paths.get(c1.toString + "-metadata.json"),
+        meta("http://example.org/disc_default"))
+      // scenario 2: .well-known/csvm custom template
+      val d2 = Files.createTempDirectory("graft_disc2"); val c2 = mkCsv(d2)
+      Files.createDirectories(d2.resolve(".well-known"))
+      Files.writeString(d2.resolve(".well-known").resolve("csvm"), "custom.json\n")
+      Files.writeString(d2.resolve("custom.json"), meta("http://example.org/disc_wellknown"))
+      // scenario 3: user-supplied metadata wins over defaults
+      val d3 = Files.createTempDirectory("graft_disc3"); val c3 = mkCsv(d3)
+      Files.writeString(java.nio.file.Paths.get(c3.toString + "-metadata.json"),
+        meta("http://example.org/ignored"))
+      val user = d3.resolve("user.json")
+      Files.writeString(user, meta("http://example.org/disc_user"))
+      // scenario 4: nothing found → synthesized TableGroup from the file
+      val d4 = Files.createTempDirectory("graft_disc4"); val c4 = mkCsv(d4)
+      Seq(
+        ("default_template",
+          graft.sources.CsvwDiscover.forInput(c1.toString).tables.head.url),
+        ("wellknown_template",
+          graft.sources.CsvwDiscover.forInput(c2.toString).tables.head.url),
+        ("user_supplied",
+          graft.sources.CsvwDiscover.forInput(c3.toString, Some(user.toString)).tables.head.url),
+        ("synthesized",
+          // temp path is run-specific — report the stable basename
+          graft.sources.CsvwDiscover.forInput(c4.toString).tables.head.url.split('/').last)
+      ).toDF("scenario", "url")
+    }),
+
     // ---- HTML table scan (S2): fragment-selected table, th header row,
     // fixture-verified numbering (logical over data rows, source = tr index)
     "s2_html_table" -> ((s, d) => {
@@ -806,6 +947,76 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY r_regionkey) + 2 AS BIGINT) AS _sourceRow,
         |  CAST(r_regionkey AS VARCHAR) AS _c1, r_name AS _c2
         |FROM region""".stripMargin,
+
+    "f5_boolean_format" ->
+      """SELECT CASE WHEN r_regionkey % 2 = 0 THEN 'Y' ELSE 'N' END AS v,
+        |  CASE WHEN r_regionkey % 2 = 0 THEN 'true' ELSE 'false' END AS lex,
+        |  TRUE AS ok
+        |FROM region""".stripMargin,
+
+    "f6_regex_format" ->
+      """SELECT r_name AS v, regexp_matches(r_name, '^[A-Z]+$') AS ok FROM region""",
+
+    "f7_length_facets" ->
+      """SELECT r_name AS v, length(r_name) BETWEEN 5 AND 6 AS ok FROM region""",
+
+    "f10_column_name_encode" ->
+      """SELECT r_name AS title, replace(r_name, ' ', '%20') AS name FROM region""",
+
+    "f11_json_literal" ->
+      """SELECT '{"key": ' || CAST(r_regionkey AS VARCHAR) || '}' AS v,
+        |  '{"key": ' || CAST(r_regionkey AS VARCHAR) || '}' AS lex,
+        |  'http://www.w3.org/ns/csvw#JSON' AS dtype
+        |FROM region""".stripMargin,
+
+    "p1_skip_columns" ->
+      """SELECT CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS _row,
+        |  CAST(row_number() OVER (ORDER BY r_regionkey) + 1 AS BIGINT) AS _sourceRow,
+        |  CAST(r_regionkey AS VARCHAR) AS _c1, r_name AS _c2
+        |FROM region""".stripMargin,
+
+    "w2_column_numbering" ->
+      """SELECT * FROM (VALUES
+        |  ('a', 1, 3), ('b', 2, 4), ('c', 3, 5)
+        |) AS t(name, number, source_number)""".stripMargin,
+
+    "t4_common_properties" ->
+      """SELECT * FROM (VALUES
+        |  ('_:tg', 'http://purl.org/dc/terms/title', 'Tree Operations', FALSE, 'en', CAST(NULL AS VARCHAR)),
+        |  ('_:tg', 'http://www.w3.org/ns/dcat#keyword', 'tree', FALSE, NULL, NULL),
+        |  ('_:tg', 'http://www.w3.org/ns/dcat#keyword', 'street', FALSE, NULL, NULL),
+        |  ('_:tg', 'http://purl.org/dc/terms/license', 'http://opendefinition.org/licenses/cc-by/', TRUE, NULL, NULL),
+        |  ('_:tg', 'http://www.w3.org/ns/csvw#note', 'plain note', FALSE, NULL, NULL)
+        |) AS t(subj, pred, obj, obj_iri, lang, dtype)""".stripMargin,
+
+    "t5_provenance" -> {
+      val P = "http://www.w3.org/ns/prov#"
+      val R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+      val C = "http://www.w3.org/ns/csvw#"
+      s"""SELECT * FROM (VALUES
+         |  ('_:tg', '${P}wasGeneratedBy', '_:prov_activity', TRUE, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+         |  ('_:prov_activity', '$R', '${P}Activity', TRUE, NULL, NULL),
+         |  ('_:prov_activity', '${P}wasAssociatedWith', 'https://example.org/graft-spark', TRUE, NULL, NULL),
+         |  ('_:prov_activity', '${P}startedAtTime', '2026-01-01T00:00:00Z', FALSE, NULL, '${X}dateTime'),
+         |  ('_:prov_activity', '${P}endedAtTime', '2026-01-01T00:00:01Z', FALSE, NULL, '${X}dateTime'),
+         |  ('_:prov_activity', '${P}qualifiedUsage', '_:prov_usage1', TRUE, NULL, NULL),
+         |  ('_:prov_usage1', '$R', '${P}Usage', TRUE, NULL, NULL),
+         |  ('_:prov_usage1', '${P}hadRole', '${C}csvEncodedTabularData', TRUE, NULL, NULL),
+         |  ('_:prov_usage1', '${P}entity', 'http://example.org/transcripts', TRUE, NULL, NULL),
+         |  ('_:prov_activity', '${P}qualifiedUsage', '_:prov_usage2', TRUE, NULL, NULL),
+         |  ('_:prov_usage2', '$R', '${P}Usage', TRUE, NULL, NULL),
+         |  ('_:prov_usage2', '${P}hadRole', '${C}tabularMetadata', TRUE, NULL, NULL),
+         |  ('_:prov_usage2', '${P}entity', 'http://example.org/transcripts-metadata.json', TRUE, NULL, NULL)
+         |) AS t(subj, pred, obj, obj_iri, lang, dtype)""".stripMargin
+    },
+
+    "s4_discovery" ->
+      """SELECT * FROM (VALUES
+        |  ('default_template', 'http://example.org/disc_default'),
+        |  ('wellknown_template', 'http://example.org/disc_wellknown'),
+        |  ('user_supplied', 'http://example.org/disc_user'),
+        |  ('synthesized', 'f.csv')
+        |) AS t(scenario, url)""".stripMargin,
 
     // header tr is source row 1; data rows follow (countries_html fixture
     // numbering)
