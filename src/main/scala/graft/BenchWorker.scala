@@ -96,15 +96,13 @@ object BenchWorker {
     val run: SparkSession => Long =
       if (mode == "map") mapOnlyCount(_, corpus) else kgPipelineCount(_, corpus)
     val spark = session(cores)
-    if (!noWarm) run(spark) // warm JIT/codegen on identical work
-    // single measurement when unwarmed (corpus sized so JIT cost is noise);
-    // best-of-2 otherwise — host scheduling noise is one-sided
-    val reps = if (noWarm) 1 else 2
-    val (n, dt) = (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      val n = run(spark)
-      (n, (System.nanoTime() - t0) / 1e9)
-    }.minBy(_._2)
+    // warm JIT/codegen on identical work, then measure once — the steady
+    // state a long job amortizes to; cross-run noise is handled by the
+    // parent's interleaved reps + min filter
+    if (!noWarm) run(spark)
+    val t0 = System.nanoTime()
+    val n = run(spark)
+    val dt = (System.nanoTime() - t0) / 1e9
     println(f"WORKER_RESULT $n $dt%.3f")
     spark.stop()
   }

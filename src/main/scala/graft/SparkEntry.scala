@@ -417,6 +417,21 @@ object SparkEntry {
         col("conv_id"), col("turns"))
     }),
 
+    // ---- streaming stateful dedup (flatMapGroupsWithState): each distinct
+    // triple emitted exactly once across micro-batches
+    "str2_stream_dedup" -> ((s, d) => {
+      val tmp = streamFixture(s, d)
+      val trip = graft.streaming.TranscriptStream.triples(
+        graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable)
+      val q = graft.streaming.TranscriptStream.dedupedTriples(trip)
+        .toDF("subj", "pred", "obj")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_stream_dedup").start()
+      q.processAllAvailable(); q.stop()
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      s.table("graft_stream_dedup")
+    }),
+
     // ---- JSON output mode (S7/T6): the emitted JSON document strings are
     // parsed back field-by-field, so the oracle checks every typed value,
     // the @id expansion, and null-cell omission without depending on
@@ -1062,5 +1077,8 @@ object SparkEntry {
       s"""$trCte
          |SELECT strftime(date_trunc('minute', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
          |  conv_id, count(*) AS turns
-         |FROM transcripts GROUP BY 1, 2""".stripMargin)
+         |FROM transcripts GROUP BY 1, 2""".stripMargin,
+
+    "str2_stream_dedup" ->
+      s"$trCte SELECT DISTINCT subj, pred, obj FROM (\n$minimalTriplesSelect\n)")
 }

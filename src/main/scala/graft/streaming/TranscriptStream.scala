@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.ResolvedTable
 import graft.mapper.TripleMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -51,4 +51,28 @@ object TranscriptStream {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 minute"), col("conv_id"))
       .agg(count(lit(1)).as("turns"))
+
+  /** Incremental exact dedup across micro-batches: keyed
+    * `flatMapGroupsWithState` emits each distinct (subj, pred, obj) exactly
+    * once over the stream's lifetime — the streaming counterpart of the
+    * batch sink dedup, for continuous graph materialization.
+    *
+    * Scale note: state is one boolean per distinct triple, hash-partitioned
+    * by the state store; for unbounded streams a production deployment
+    * bounds it with event-time TTL (`GroupStateTimeout.EventTimeTimeout`)
+    * at the cost of possible re-emission past the horizon.
+    */
+  def dedupedTriples(triples: DataFrame): Dataset[(String, String, String)] = {
+    import triples.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    triples.select("subj", "pred", "obj").as[(String, String, String)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, (String, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String, String), _: Iterator[(String, String, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(key) }
+      }
+  }
 }
