@@ -54,16 +54,41 @@ object CsvDialectSource extends Serializable {
   /** Exact `each_row` semantics with logical/source row numbering and
     * embedded-metadata header extraction (`metadata.rb:1794-1888`).
     *
-    * Known divergence (documented): records are framed by physical lines,
-    * so quoted fields containing line terminators are NOT supported on this
-    * path — use [[read]] (multiLine) for such files. Custom
-    * `lineTerminators` and non-UTF-8 `encoding` are likewise unsupported
-    * here; the 100 TB path is parquet/Iceberg, and metadata-driven CSV is a
-    * config-scale input.
+    * Dialect `encoding` and custom `lineTerminators` are honored via a
+    * driver-side decode leg (CSVW metadata-driven files are config-scale
+    * inputs; the 100 TB path is parquet/Iceberg). Known divergence
+    * (documented): records are framed by lines, so quoted fields containing
+    * line terminators are NOT supported on this path — use [[read]]
+    * (multiLine) for such files.
     */
   def readExact(spark: SparkSession, path: String, dialect: DialectMeta): ExactResult = {
-    val lines = spark.sparkContext.textFile(path).zipWithIndex()
-      .map { case (l, i) => (i + 1, l) } // 1-based physical line number
+    val defaultFraming =
+      dialect.encoding.equalsIgnoreCase("utf-8") &&
+        (dialect.lineTerminators == List("\r\n", "\n") || dialect.lineTerminators == List("\n"))
+    val lines =
+      if (defaultFraming)
+        spark.sparkContext.textFile(path).zipWithIndex()
+          .map { case (l, i) => (i + 1, l) } // 1-based physical line number
+      else {
+        // non-default charset / terminators: decode on the driver, then
+        // distribute (single-document scale by construction)
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        val text = new String(bytes, java.nio.charset.Charset.forName(dialect.encoding))
+        val terms = dialect.lineTerminators.sortBy(-_.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var start = 0
+        var i = 0
+        while (i < text.length) {
+          terms.find(t => text.startsWith(t, i)) match {
+            case Some(t) => out += text.substring(start, i); i += t.length; start = i
+            case None => i += 1
+          }
+        }
+        if (start < text.length) out += text.substring(start)
+        spark.sparkContext.parallelize(
+          out.toSeq.zipWithIndex.map { case (l, idx) => ((idx + 1).toLong, l) },
+          math.max(out.size / 100000, 1))
+      }
     val skip = dialect.skipRows
     val headerRows = dialect.effectiveHeaderRowCount
     val commentPfx = dialect.commentPrefix

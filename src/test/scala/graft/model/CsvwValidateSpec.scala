@@ -214,6 +214,26 @@ class CsvwValidateSpec extends AnyFunSuite {
          "@id": "http://www.w3.org/2001/XMLSchema#integer"}}]}}""").ok)
   }
 
+  test("pipeline surfaces metadata report and gates on errors") {
+    val spark = graft.mapper.TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val metaJson = """{"url": "http://e/t", "bogus": 1,
+      "tableSchema": {"columns": [{"name": "a"}, {"name": "a"}]}}"""
+    val group = CsvwJson.parseTableGroup(metaJson)
+    val df = spark.range(1).selectExpr("CAST(id AS STRING) AS a", "id AS rn")
+    val bound = Map("http://e/t" -> graft.mapper.CsvwPipeline.BoundTable(
+      df, Map("a" -> col("a")), col("a"), col("rn"), col("rn")))
+    val res = graft.mapper.CsvwPipeline.run(spark, group, bound,
+      graft.mapper.CsvwPipeline.Options(
+        metadataJson = Some(metaJson),
+        embeddedColumns = Map("http://e/t" ->
+          List(ColumnMeta(titles = List("und" -> "mismatch"))))))
+    assert(res.metadata.warnings.exists(_.contains("bogus")))
+    assert(res.metadata.errors.exists(_.contains("unique names")))
+    assert(res.severityCounts("metadata_error") >= 1)
+    intercept[IllegalStateException] { res.raiseOnErrors() }
+  }
+
   test("language-mapped titles drive the column name (und first, then column lang)") {
     val meta = """{"url": "http://e/t", "tableSchema": {"columns": [
       {"titles": {"en": ["English Name"], "und": ["plain"]}},

@@ -141,6 +141,20 @@ class CsvDialectSourceSpec extends AnyFunSuite {
     val parsed = CsvDialectSource.parseCsvLine("\"a;b\";\"say \"\"hi\"\"\";c", ";", '"', doubleQuote = true)
     assert(parsed.toSeq == Seq("a;b", "say \"hi\"", "c"))
   }
+
+  test("readExact honors dialect encoding and custom line terminators") {
+    // ISO-8859-1 content with a non-UTF-8 byte (0xE9 = é) and '|' framing
+    val content = "héader|r1é|r2"
+    val f = java.nio.file.Files.createTempFile("dialect_enc", ".csv")
+    java.nio.file.Files.write(f, content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val dialect = DialectMeta(delimiter = ";", encoding = "ISO-8859-1",
+      lineTerminators = List("|"))
+    val res = CsvDialectSource.readExact(spark, f.toString, dialect)
+    assert(res.headerTitles == List(List("héader")))
+    val rows = res.rows.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getString(2)).toSeq == Seq("r1é", "r2"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+  }
 }
 
 class FunctionsSpec extends AnyFunSuite {
