@@ -17,12 +17,16 @@ import java.nio.file.{Files, Paths}
 object Bench {
 
   private val headline = Seq(
-    "t1_triples_minimal", "t3_triples_standard", "g1_graph_materialize",
+    "t1_triples_minimal", "t2_rdf_list", "t3_triples_standard",
+    "g1_graph_materialize",
     "q1_agg", "q2_join_broadcast", "q3_window",
     "j3_entity_link", "j4_connected_components",
-    "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
-    "s1_ann_topk", "x1_lang_id", "x3_quality_score", "x4_fingerprint",
-    "w1_turn_order", "str1_stream_counts")
+    "d1_dedup_exact", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
+    "d5_embedding_dup",
+    "s1_ann_topk", "s2_ann_lsh", "s7_json_minimal",
+    "x1_lang_id", "x3_quality_score", "x4_fingerprint",
+    "w1_turn_order", "m1_multimodal_decode",
+    "str1_stream_counts", "str2_stream_dedup")
 
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
@@ -144,7 +148,7 @@ object Bench {
       val master = sys.env.getOrElse("GRAFT_BENCH_MASTER", "lc")
       val Array(loCores, hiCores) =
         sys.env.getOrElse("GRAFT_BENCH_CORES", "4,16").split(",").map(_.trim.toInt)
-      val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
+      val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
       val samples: Seq[(Int, (Long, Double))] = (1 to reps).flatMap { _ =>
         Seq(loCores -> spawnWorker(loCores, corpus), hiCores -> spawnWorker(hiCores, corpus))
       }
