@@ -22,6 +22,17 @@ object BenchWorker {
     val master =
       if (lc) s"local-cluster[${math.max(cores / coresPerExec, 1)},$coresPerExec,$execMemMb]"
       else s"local[$cores]"
+    // tmpfs shuffle dirs when available: local shuffles are disk-bound
+    // otherwise and the N-vs-4N comparison would measure the disk, not the
+    // engine (executors inherit spark.local.dir through the worker)
+    val localDir = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) {
+        val d = shm.resolve("graft_spark_worker")
+        java.nio.file.Files.createDirectories(d)
+        Some(d.toString)
+      } else None
+    }
     val b = SparkSession.builder()
       .master(master)
       .appName(s"graft-bench-worker-$cores")
@@ -36,6 +47,7 @@ object BenchWorker {
       // has millions of splits; config identical for both runs).
       .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
+    localDir.foreach(d => b.config("spark.local.dir", d))
     if (lc) {
       // executor JVMs need the library classes (custom Catalyst expressions)
       // and the JDK17 module opens the driver gets from build.sbt
@@ -96,13 +108,18 @@ object BenchWorker {
     val run: SparkSession => Long =
       if (mode == "map") mapOnlyCount(_, corpus) else kgPipelineCount(_, corpus)
     val spark = session(cores)
-    // warm JIT/codegen on identical work, then measure once — the steady
-    // state a long job amortizes to; cross-run noise is handled by the
-    // parent's interleaved reps + min filter
+    // warm JIT/codegen on identical work, then report the best of two
+    // measurements — the steady state a long job amortizes to; host noise
+    // is one-sided, so in-worker best-of-2 plus the parent's interleaved
+    // reps + min filter tightens the estimator substantially (single
+    // measurements drifted the efficiency estimate by ±0.15 across windows)
     if (!noWarm) run(spark)
-    val t0 = System.nanoTime()
-    val n = run(spark)
-    val dt = (System.nanoTime() - t0) / 1e9
+    val reps = if (noWarm) 1 else 2
+    val (n, dt) = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val n = run(spark)
+      (n, (System.nanoTime() - t0) / 1e9)
+    }.minBy(_._2)
     println(f"WORKER_RESULT $n $dt%.3f")
     spark.stop()
   }

@@ -22,14 +22,18 @@ object Annotations {
     val pred =
       if (key == "notes") Vocab.Csvw + "note"
       else Iri.expand("", key)
-    expandValue(subject, pred, mapper.readTree(valueJson), s"_:cp$bnodeSeed")
+    // bnode counter is scoped to this call: a JVM-global counter would make
+    // repeated runs emit different labels, breaking determinism
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    expandValue(subj = subject, pred = pred, n = mapper.readTree(valueJson),
+      bnodeBase = s"_:cp$bnodeSeed", counter = counter)
   }
 
-  private var counter = 0
   private def expandValue(subj: String, pred: String, n: JsonNode,
-                          bnodeBase: String): Seq[Triple] = {
+                          bnodeBase: String,
+                          counter: java.util.concurrent.atomic.AtomicInteger): Seq[Triple] = {
     if (n.isArray) {
-      n.elements().asScala.toSeq.flatMap(e => expandValue(subj, pred, e, bnodeBase))
+      n.elements().asScala.toSeq.flatMap(e => expandValue(subj, pred, e, bnodeBase, counter))
     } else if (n.isTextual) {
       Seq(Triple(subj, pred, n.asText(), obj_iri = false, null, null))
     } else if (n.isNumber) {
@@ -45,7 +49,7 @@ object Annotations {
         Seq(Triple(subj, pred, v, obj_iri = false, lang, dt))
       } else {
         val nodeId = Option(n.get("@id")).map(i => Iri.expand("", i.asText()))
-          .getOrElse { counter += 1; s"$bnodeBase.$counter" }
+          .getOrElse(s"$bnodeBase.${counter.incrementAndGet()}")
         val head = Triple(subj, pred, nodeId, obj_iri = true, null, null)
         val typeTrs = Option(n.get("@type")).toSeq.flatMap { t =>
           val types = if (t.isArray) t.elements().asScala.toSeq else Seq(t)
@@ -55,7 +59,7 @@ object Annotations {
           .filterNot(e => e.getKey.startsWith("@"))
           .flatMap { e =>
             val p = Iri.expand("", e.getKey)
-            expandValue(nodeId, p, e.getValue, bnodeBase)
+            expandValue(nodeId, p, e.getValue, bnodeBase, counter)
           }
         head +: (typeTrs ++ rest)
       }
