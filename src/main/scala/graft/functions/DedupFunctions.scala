@@ -92,39 +92,57 @@ object DedupFunctions {
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs, recall-complete for the requested radius:
-    * the 64 bits are split into `maxHamming + 1` disjoint chunks, so by
-    * pigeonhole any pair within Hamming distance `maxHamming` shares at
-    * least one chunk exactly (round 1 hard-coded 4 chunks, silently losing
-    * pairs at distance 4-8). Blocking joins per (chunk_idx, chunk value);
-    * verification is an exact `bit_count` filter.
-    *
-    * Scale note: chunk width shrinks as the radius grows (radius 8 → 9
-    * chunks of ~7 bits → ~128 buckets per chunk index), so bucket occupancy
-    * — and the verify-join fan-out — grows. For large radii at 100 TB the
-    * standard fix is HmSearch-style multi-level blocking (join on *pairs* of
-    * sub-chunks, pigeonhole over C(n,2) keys); radius ≤ 3 keeps 16-bit
-    * chunks and stays cheap, which is why the driver query uses a small
-    * radius for the scan and a spec proves blocked == brute-force recall.
+  /** Split a 64-bit column into `n` disjoint chunks; chunk i covers bits
+    * [i·64/n, (i+1)·64/n).
     */
-  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
-    val nChunks = maxHamming + 1
-    // chunk i covers bits [i*64/n, (i+1)*64/n) — disjoint, exhaustive
-    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
-    val chunkExprs = (0 until nChunks).map { i =>
+  private def chunksOf(sim: Column, n: Int): IndexedSeq[Column] = {
+    val bounds = (0 to n).map(i => i * 64 / n)
+    (0 until n).map { i =>
       val start = bounds(i)
       val width = bounds(i + 1) - bounds(i)
       val mask = if (width >= 64) -1L else (1L << width) - 1L
-      call_function("shiftrightunsigned", col("sim"), lit(start)).bitwiseAND(lit(mask))
+      call_function("shiftrightunsigned", sim, lit(start)).bitwiseAND(lit(mask))
     }
+  }
+
+  /** SimHash near-dup pairs, recall-complete for the requested radius
+    * (round 1 hard-coded 4 chunks, silently losing pairs at distance 4-8):
+    *
+    *  - small radii (chunk width ≥ 8 bits): the 64 bits split into
+    *    `maxHamming + 1` disjoint chunks — by pigeonhole any pair within
+    *    the radius shares at least one chunk exactly.
+    *  - large radii: single chunks get too narrow (radius 8 → 9 chunks of
+    *    ~7 bits → ~128 buckets, n²/128 bucket joins at scale), so blocking
+    *    switches to HmSearch-style *pair* keys: `maxHamming + 2` sub-chunks
+    *    and one key per unordered sub-chunk pair. At most `maxHamming`
+    *    sub-chunks are touched by differing bits, so at least two are clean
+    *    and some pair key matches exactly — recall stays complete while key
+    *    width roughly doubles (radius 8 → 45 keys of ~12.8 bits).
+    *
+    * Verification is an exact `bit_count` filter either way; a spec proves
+    * blocked == brute force at radii on both paths.
+    */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
     val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
       .localCheckpoint()
-    val chunked = withSim.select(col("id"), col("sim"),
-      posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
+    val keyed =
+      if (64 / (maxHamming + 1) >= 8) {
+        val chunkExprs = chunksOf(col("sim"), maxHamming + 1)
+        withSim.select(col("id"), col("sim"),
+          posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk")))
+      } else {
+        val m = maxHamming + 2
+        val sub = chunksOf(col("sim"), m)
+        val pairKeys = for {
+          i <- 0 until m; j <- (i + 1) until m
+        } yield call_function("shiftleft", sub(i), lit(32)).bitwiseOR(sub(j))
+        withSim.select(col("id"), col("sim"),
+          posexplode(array(pairKeys: _*)).as(Seq("chunk_idx", "chunk")))
+      }
+    val a = keyed.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = keyed.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDist(col("sim_a"), col("sim_b")).as("hamming"))
