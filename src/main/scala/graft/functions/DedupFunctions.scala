@@ -150,46 +150,64 @@ object DedupFunctions {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
-  /** Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style): shingles
-    * are ranked by ascending global document frequency, and each document
-    * contributes only its ⌊(1−t)·|A|⌋+1 *rarest* shingles to candidate
-    * generation — any pair with Jaccard ≥ t must share a prefix shingle
-    * (overlap ≥ t/(1+t)·(|A|+|B|) > |A| − prefix length), so recall is
-    * complete. Round 1 joined on *every* shared shingle: one hot stop-word
-    * shingle in k docs made a k² bucket, unbounded skew at 100 TB. The
-    * prefix prefers rare shingles, so hot-shingle buckets only form when a
-    * hot shingle is among a document's rarest — bounded in practice.
-    * Jaccard itself is then computed exactly over the *full* shingle sets
-    * of the surviving candidate pairs.
+  /** Exact n-gram Jaccard pairs with a threshold-adaptive plan:
+    *
+    *  - **t ≥ 0.5 (dedup-grade)**: PPJoin-style prefix filtering — shingles
+    *    rank by ascending global document frequency and each document
+    *    contributes only its ⌊(1−t)·|A|⌋+1 *rarest* shingles to candidate
+    *    generation (any pair with Jaccard ≥ t must share a prefix shingle),
+    *    then the exact intersection is computed over the full shingle sets
+    *    of the surviving candidates. This bounds hot-shingle skew — round 1
+    *    joined on *every* shared shingle, so one stop-shingle in k docs
+    *    made a k² bucket — because hot shingles enter a prefix only when
+    *    they are among a document's rarest.
+    *
+    *  - **t < 0.5 (similarity-scan-grade)**: the prefix keeps >half of every
+    *    document's shingles, prunes almost nothing, and would pay an extra
+    *    verification pass over a candidate set nearly equal to the full
+    *    co-shingle pair set — so the plan counts shared shingles in one
+    *    self-join pass instead (AQE skew-split covers moderate hot keys;
+    *    low-threshold *exact* all-pairs Jaccard is inherently proportional
+    *    to co-shingle pairs, which no exact method avoids).
+    *
+    * Both paths carry the per-doc shingle count on every row (one window
+    * over the id exchange), so the Jaccard comes straight out of the
+    * intersection aggregate with no per-side size joins.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val byId = Window.partitionBy(col("id"))
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
+      .withColumn("n", count(lit(1)).over(byId))
       .localCheckpoint()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    // rank shingles within each doc by rarity; keep the prefix
-    val ranked = sh.join(dfreq, "sh")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
-      .join(sizes, "id")
-      .filter(col("rn") <= floor((lit(1.0) - threshold) * col("n")).cast("long") + 1)
-      .select(col("id"), col("sh"))
-    val cand = ranked.toDF("id_a", "sh").join(ranked.toDF("id_b", "sh2"),
-        col("sh") === col("sh2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).dropDuplicates()
-    // exact intersection over the full shingle sets of candidates only
-    val inter = cand
-      .join(sh.toDF("id_a", "sha"), "id_a")
-      .join(sh.toDF("idb2", "shb"),
-        col("id_b") === col("idb2") && col("sha") === col("shb"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+
+    val inter =
+      if (threshold >= 0.5) {
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val prefix = sh.join(dfreq, "sh")
+          .withColumn("rn", row_number().over(byId.orderBy(col("df"), col("sh"))))
+          .filter(col("rn") <= floor((lit(1.0) - threshold) * col("n")).cast("long") + 1)
+          .select(col("id"), col("sh"))
+        val cand = prefix.toDF("id_a", "sh").join(prefix.toDF("id_b", "sh2"),
+            col("sh") === col("sh2") && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).dropDuplicates()
+        cand
+          .join(sh.toDF("id_a", "sha", "n_a"), "id_a")
+          .join(sh.toDF("idb2", "shb", "n_b"),
+            col("id_b") === col("idb2") && col("sha") === col("shb"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      } else {
+        sh.toDF("id_a", "sh", "n_a")
+          .join(sh.toDF("id_b", "sh2", "n_b"),
+            col("sh") === col("sh2") && col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      }
     inter
-      .join(sizes.toDF("id_a", "n_a"), "id_a")
-      .join(sizes.toDF("id_b", "n_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)

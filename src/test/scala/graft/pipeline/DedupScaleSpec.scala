@@ -47,16 +47,12 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(blocked == brute)
   }
 
-  test("ngram Jaccard prefix filtering loses no pairs vs all-shared-shingle join") {
-    val t = 0.3
-    val fast = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
-      shingleSize = 3, threshold = t)
-      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
-    // naive exact: full shingle-set self-join (the round-1 shape)
+  /** naive exact reference: full shingle-set self-join + size joins. */
+  private def bruteJaccard(t: Double): Set[(Long, Long, Double)] = {
     val sh = corpus.select(col("doc_id").as("id"),
       explode(array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3))).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val brute = sh.toDF("id_a", "s").join(sh.toDF("id_b", "s2"),
+    sh.toDF("id_a", "s").join(sh.toDF("id_b", "s2"),
         col("s") === col("s2") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
       .join(sizes.toDF("id_a", "n_a"), "id_a")
@@ -65,6 +61,24 @@ class DedupScaleSpec extends AnyFunSuite {
         round(col("i") / (col("n_a") + col("n_b") - col("i")), 6).as("j"))
       .filter(col("j") >= t)
       .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("ngram Jaccard prefix-filter path (t>=0.5) loses no pairs vs naive join") {
+    val t = 0.5
+    val fast = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = t)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val brute = bruteJaccard(t)
+    assert(brute.nonEmpty, "fixture must contain pairs above threshold")
+    assert(fast == brute)
+  }
+
+  test("ngram Jaccard direct path (t<0.5) matches naive join") {
+    val t = 0.3
+    val fast = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = t)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val brute = bruteJaccard(t)
     assert(brute.nonEmpty, "fixture must contain pairs above threshold")
     assert(fast == brute)
   }
