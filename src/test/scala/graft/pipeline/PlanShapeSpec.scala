@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards: the round-2 performance work lives or dies
+  * on these properties, so they are asserted, not just benchmarked.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+  import spark.implicits._
+
+  // multi-partition source: a single-partition LocalTableScan would let the
+  // planner elide the exchange entirely
+  private def tripleDf = spark.range(0, 100, 1, 4).selectExpr(
+    "CAST(id AS STRING) AS subj", "'p' AS pred",
+    "CAST(id % 7 AS STRING) AS obj", "true AS obj_iri",
+    "CAST(NULL AS STRING) AS lang", "CAST(NULL AS STRING) AS dtype")
+
+  test("sink dedup: partial+final hash aggregate, no sort aggregate, one exchange") {
+    val plan = tripleDf.dropDuplicates().queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert("Exchange".r.findAllMatchIn(plan).length == 1, plan)
+  }
+
+  test("bench flagship dedup keyset: hash aggregate only, one exchange") {
+    val plan = tripleDf.select("subj", "pred", "obj").dropDuplicates()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    assert("Exchange".r.findAllMatchIn(plan).length == 1, plan)
+  }
+
+  test("triple mapper is exchange-free over its input (single narrow stage)") {
+    val tr = Seq(("c1", 0, "user", "hello", "", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val triples = graft.streaming.TranscriptStream.triples(tr, graft.SparkEntry.transcriptTable)
+    val plan = triples.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the whole per-column triple construction flattens into ONE Generate
+    assert("Generate".r.findAllMatchIn(plan).length == 1, plan)
+  }
+
+  test("entity linking broadcasts the dictionary (no corpus shuffle)") {
+    val corpus = (0 until 50).map(i => (i.toLong, s"text spark $i")).toDF("doc_id", "text")
+    val dict = Seq(("e1", "spark")).toDF("entity_id", "surface")
+    val plan = graft.link.EntityLink.mentions(corpus, dict, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
