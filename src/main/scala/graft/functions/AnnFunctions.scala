@@ -41,8 +41,17 @@ object AnnFunctions {
     * Σ C(planes,j) factor).
     */
   def probeBuckets(bucket: Column, planes: Int, probeBits: Int): Column = {
-    val masks = (0L until (1L << planes))
-      .filter(m => java.lang.Long.bitCount(m) <= probeBits)
+    // enumerate flip-combinations directly (Σ C(planes, j) masks) rather
+    // than scanning 2^planes — plan-time cost stays polynomial in planes,
+    // and planes = 64 no longer wraps 1L << 64 into a single zero mask
+    require(planes >= 1 && planes <= 63, s"planes out of [1,63]: $planes")
+    require(probeBits >= 0 && probeBits <= planes,
+      s"probeBits out of [0,$planes]: $probeBits")
+    def combos(start: Int, remaining: Int, acc: Long): Seq[Long] =
+      acc +: (if (remaining == 0) Seq.empty[Long]
+              else (start until planes).flatMap(b =>
+                combos(b + 1, remaining - 1, acc | (1L << b))))
+    val masks = combos(0, probeBits, 0L)
     array(masks.map(m => bucket.bitwiseXOR(lit(m))): _*)
   }
 

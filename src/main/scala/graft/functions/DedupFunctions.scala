@@ -150,33 +150,48 @@ object DedupFunctions {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
-  /** Exact n-gram Jaccard pairs with a threshold-adaptive plan:
+  /** Exact n-gram Jaccard pairs via PPJoin-style filtering at every
+    * threshold (round 2 bypassed the pruning below t = 0.5; the unpruned
+    * co-shingle self-join was the last unbounded-skew plan in the repo).
+    * All three filters are exact — no recall loss at any threshold:
     *
-    *  - **t ≥ 0.5 (dedup-grade)**: PPJoin-style prefix filtering — shingles
-    *    rank by ascending global document frequency and each document
-    *    contributes only its ⌊(1−t)·|A|⌋+1 *rarest* shingles to candidate
-    *    generation (any pair with Jaccard ≥ t must share a prefix shingle),
-    *    then the exact intersection is computed over the full shingle sets
-    *    of the surviving candidates. This bounds hot-shingle skew — round 1
-    *    joined on *every* shared shingle, so one stop-shingle in k docs
-    *    made a k² bucket — because hot shingles enter a prefix only when
-    *    they are among a document's rarest.
+    *  - **Prefix filter**: shingles rank by ascending global document
+    *    frequency (ties by hash) and each document contributes only its
+    *    n − ⌈t·n⌉ + 1 *rarest* shingles to candidate generation. Any pair
+    *    with J ≥ t shares ≥ ⌈t·n⌉ shingles per side, so by pigeonhole it
+    *    shares a prefix shingle on both sides. The bound is computed as
+    *    n − ⌈t·n − ε⌉ + 1 in integer space: the round-2 form ⌊(1−t)·n⌋+1
+    *    under-counted by one when 1−t is not exactly representable
+    *    (t = 0.9 → 1−t = 0.0999…), silently dropping boundary pairs.
+    *  - **Length filter** (inside the candidate join): J ≥ t forces
+    *    min(n_a,n_b) ≥ t·max(n_a,n_b) — size-mismatched pairs never leave
+    *    the join.
+    *  - **Positional filter**: a qualifying pair's globally *rarest* common
+    *    shingle w is provably inside both prefixes (every common shingle
+    *    sits at or after w in both orderings, so pos(w) ≤ n − i + 1 ≤
+    *    n − ⌈t·n⌉ + 1), and at w the true overlap is exactly bounded:
+    *    i ≤ 1 + min(n_a − pos_a, n_b − pos_b). Candidate pairs aggregate to
+    *    their min-(df, sh) shared row and are pruned when that bound falls
+    *    below the required overlap ⌈t·(n_a+n_b)/(1+t)⌉ — exact, cheap at
+    *    high t, and the main defense at low t where prefixes are long.
     *
-    *  - **t < 0.5 (similarity-scan-grade)**: the prefix keeps >half of every
-    *    document's shingles, prunes almost nothing, and would pay an extra
-    *    verification pass over a candidate set nearly equal to the full
-    *    co-shingle pair set — so the plan counts shared shingles in one
-    *    self-join pass instead (AQE skew-split covers moderate hot keys;
-    *    low-threshold *exact* all-pairs Jaccard is inherently proportional
-    *    to co-shingle pairs, which no exact method avoids).
+    * Hot-shingle skew: a stop-shingle enters a prefix only when it is among
+    * a document's rarest, and AQE splits residual hot candidate buckets.
+    * `dfCap` (off by default) additionally drops shingles with document
+    * frequency > cap from candidate generation ONLY (never from
+    * verification). Recall bound with the cap on: a pair is missed only if
+    * EVERY common shingle in both prefixes is hotter than the cap — any
+    * single sub-cap common prefix shingle still surfaces the pair.
     *
-    * Both paths carry the per-doc shingle count on every row (one window
-    * over the id exchange), so the Jaccard comes straight out of the
-    * intersection aggregate with no per-side size joins.
+    * Verification computes the exact intersection over full shingle sets of
+    * surviving candidates; per-doc sizes ride along from one window over the
+    * id exchange, so the Jaccard needs no extra per-side size joins.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        dfCap: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold out of (0,1]: $threshold")
     val byId = Window.partitionBy(col("id"))
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))).as("shingle"))
@@ -184,30 +199,41 @@ object DedupFunctions {
       .withColumn("n", count(lit(1)).over(byId))
       .localCheckpoint()
 
-    val inter =
-      if (threshold >= 0.5) {
-        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        val prefix = sh.join(dfreq, "sh")
-          .withColumn("rn", row_number().over(byId.orderBy(col("df"), col("sh"))))
-          .filter(col("rn") <= floor((lit(1.0) - threshold) * col("n")).cast("long") + 1)
-          .select(col("id"), col("sh"))
-        val cand = prefix.toDF("id_a", "sh").join(prefix.toDF("id_b", "sh2"),
-            col("sh") === col("sh2") && col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).dropDuplicates()
-        cand
-          .join(sh.toDF("id_a", "sha", "n_a"), "id_a")
-          .join(sh.toDF("idb2", "shb", "n_b"),
-            col("id_b") === col("idb2") && col("sha") === col("shb"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
-      } else {
-        sh.toDF("id_a", "sh", "n_a")
-          .join(sh.toDF("id_b", "sh2", "n_b"),
-            col("sh") === col("sh2") && col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
-      }
-    inter
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // ε keeps ⌈t·n⌉ from rounding UP a product that is an exact integer held
+    // inexactly (0.9·10 = 9.000000…1) — erring toward a longer prefix
+    val prefLen = col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + lit(1L)
+    val prefix0 = sh.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(byId.orderBy(col("df"), col("sh"))))
+      .filter(col("pos") <= prefLen)
+    val prefix = dfCap.fold(prefix0)(cap => prefix0.filter(col("df") <= cap))
+      .select(col("id"), col("sh"), col("df"), col("pos"), col("n"))
+
+    val aP = prefix.select(col("sh"), col("df"),
+      col("id").as("id_a"), col("pos").as("pos_a"), col("n").as("n_a"))
+    val bP = prefix.select(col("sh").as("sh2"),
+      col("id").as("id_b"), col("pos").as("pos_b"), col("n").as("n_b"))
+    val minOverlap = // i ≥ t·(n_a+n_b)/(1+t), integer-safe
+      ceil(lit(threshold) * (col("m.n_a") + col("m.n_b")) / lit(1.0 + threshold) - lit(1e-9))
+    val cand = aP.join(bP,
+        col("sh") === col("sh2") && col("id_a") < col("id_b") &&
+          least(col("n_a"), col("n_b")).cast("double") >=
+            lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+      // the pair's rarest shared prefix shingle carries the exact positional
+      // bound; min(struct) orders by (df, sh) = the global shingle order
+      .groupBy("id_a", "id_b")
+      .agg(min(struct(col("df"), col("sh"), col("pos_a"), col("pos_b"),
+                      col("n_a"), col("n_b"))).as("m"))
+      .filter(lit(1L) + least(col("m.n_a") - col("m.pos_a"), col("m.n_b") - col("m.pos_b"))
+        >= minOverlap)
+      .select(col("id_a"), col("id_b"))
+
+    cand
+      .join(sh.toDF("id_a", "sha", "n_a"), "id_a")
+      .join(sh.toDF("idb2", "shb", "n_b"),
+        col("id_b") === col("idb2") && col("sha") === col("shb"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)

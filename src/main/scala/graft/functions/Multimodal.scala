@@ -101,11 +101,18 @@ object Multimodal {
         val tag = new String(b.slice(i, i + 4), "US-ASCII")
         if (tag == "LIST") i += 12 // descend into the list body (skip type)
         else {
-          val size = readLe32(b, i + 4)
+          // chunk sizes are untrusted input: mask to unsigned and treat a
+          // non-advancing offset as malformed (a negative/zero size would
+          // otherwise loop the executor forever)
+          val size = readLe32(b, i + 4).toLong & 0xffffffffL
           if (tag == "avih" && i + 8 + 40 <= b.length) {
             out = ("video", readLe32(b, i + 8 + 32), readLe32(b, i + 8 + 36), readLe32(b, i + 8 + 16))
             found = true
-          } else i += 8 + size
+          } else {
+            val next = i.toLong + 8L + size
+            if (next <= i || next > Int.MaxValue) found = true // malformed: bail with fallback
+            else i = next.toInt
+          }
         }
       }
       out

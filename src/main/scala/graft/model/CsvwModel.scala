@@ -173,15 +173,17 @@ object Resolve {
     ordered = Some(false), required = Some(false), textDirection = Some("ltr"))
 
   /** Column name resolution (`metadata.rb:1619-1636`): explicit name, else
-    * URI-encoded first title in "und" (or the column's language), else
-    * `_col.N`.
+    * URI-encoded first title in the column's declared language, else "und",
+    * else `_col.N` — the reference checks `titles[context.default_language]`
+    * BEFORE `titles['und']`, so a column carrying both resolves to the
+    * language-tagged title.
     */
   def columnName(c: ColumnMeta, number: Int, colLang: String = "und"): String =
     c.name
       .orElse {
         val und = c.titles.collect { case ("und", t) => t }
         val byLang = c.titles.collect { case (l, t) if l == colLang => t }
-        (und ++ byLang).headOption.map(Iri.encodeColumnName)
+        (byLang ++ und).headOption.map(Iri.encodeColumnName)
       }
       .getOrElse(s"_col.$number")
 

@@ -73,7 +73,7 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(fast == brute)
   }
 
-  test("ngram Jaccard direct path (t<0.5) matches naive join") {
+  test("ngram Jaccard PPJoin filters lose no pairs vs naive join at t=0.3") {
     val t = 0.3
     val fast = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
       shingleSize = 3, threshold = t)
@@ -81,6 +81,64 @@ class DedupScaleSpec extends AnyFunSuite {
     val brute = bruteJaccard(t)
     assert(brute.nonEmpty, "fixture must contain pairs above threshold")
     assert(fast == brute)
+  }
+
+  test("ngram Jaccard PPJoin filters lose no pairs at the driver's t=0.12") {
+    // the round-2 plan bypassed all pruning below t=0.5; this pins the new
+    // unified prefix+length+positional path to the naive join at low t
+    val t = 0.12
+    val fast = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = t)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val brute = bruteJaccard(t)
+    assert(brute.nonEmpty, "fixture must contain pairs above threshold")
+    assert(fast == brute)
+  }
+
+  /** Exact-boundary pair at threshold t: doc A = `nShared` shared tokens +
+    * `nUniq` unique rare tokens, doc B = the shared tokens only, so
+    * J = nShared/(nShared+nUniq) == t exactly and A's unique tokens (df=1)
+    * outrank every shared token (df=2) in the prefix ordering. The rarest
+    * COMMON token then sits at A-position nUniq+1 — exactly the last slot of
+    * the correct prefix n − ⌈t·n⌉ + 1. The round-2 float form ⌊(1−t)·n⌋+1
+    * under-counted that prefix by one at t=0.9/0.8 (1−t not representable)
+    * and silently dropped the pair.
+    */
+  private def boundaryPair(t: Double, nShared: Int, nUniq: Int): Set[(Long, Long, Double)] = {
+    val shared = (0 until nShared).map(i => s"s$i")
+    val docA = (0 until nUniq).map(i => s"uniq$i") ++ shared
+    val decoys = (0 until 20).map(i => (10L + i, (0 until 12).map(j => s"z${i}x$j").mkString(" ")))
+    val df = (Seq((1L, docA.mkString(" ")), (2L, shared.mkString(" "))) ++ decoys)
+      .toDF("doc_id", "text")
+    DedupFunctions.ngramJaccardPairs(df, "doc_id", "text", shingleSize = 1, threshold = t)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("prefix length is integer-safe at t=0.9 (exact-boundary pair survives)") {
+    assert(boundaryPair(0.9, nShared = 18, nUniq = 2) == Set((1L, 2L, 0.9)))
+  }
+
+  test("prefix length is integer-safe at t=0.8 (exact-boundary pair survives)") {
+    assert(boundaryPair(0.8, nShared = 12, nUniq = 3) == Set((1L, 2L, 0.8)))
+  }
+
+  test("dfCap: sub-cap common shingles still surface pairs; over-cap-only pairs miss") {
+    val t = 0.3
+    val uncapped = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = t)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // a cap above the max document frequency changes nothing
+    val generous = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = t, dfCap = Some(1000000L))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(generous == uncapped && uncapped == bruteJaccard(t))
+    // cap=1 excludes every SHARED shingle (df>=2 by definition) from
+    // candidate generation — the documented recall bound degenerates to
+    // zero pairs, never to wrong pairs
+    val starved = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = t, dfCap = Some(1L))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.nonEmpty && starved.isEmpty)
   }
 
   test("connected components: 120-node path converges via pointer jumping") {
