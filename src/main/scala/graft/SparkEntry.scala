@@ -352,8 +352,10 @@ object SparkEntry {
     "d5_embedding_dup" -> ((s, d) => {
       val base = embeddingsDouble(s, d)
       val copies = perturbedCopies(base.filter(col("vec_id") % 5 === 0))
+      // tables=2 OR-amplifies blocking recall to ~0.996 at the 0.93
+      // threshold (AnnFunctions.sketchRecall(0.93, 8, 2, 2))
       DedupFunctions.embeddingDupPairs(base.unionByName(copies),
-        "vec_id", "embedding", threshold = 0.93)
+        "vec_id", "embedding", threshold = 0.93, tables = 2)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 
@@ -374,7 +376,7 @@ object SparkEntry {
       val base = embeddingsDouble(s, d)
       val corpus = base.unionByName(perturbedCopies(base))
       AnnFunctions.lshTopK(base.filter(col("vec_id") < 10), corpus,
-          "vec_id", "vec_id", "embedding", k = 5)
+          "vec_id", "vec_id", "embedding", k = 5, tables = 2)
         .filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
     }),
@@ -417,13 +419,17 @@ object SparkEntry {
         col("conv_id"), col("turns"))
     }),
 
-    // ---- streaming stateful dedup (flatMapGroupsWithState): each distinct
-    // triple emitted exactly once across micro-batches
+    // ---- streaming stateful dedup (flatMapGroupsWithState with event-time
+    // TTL state): each distinct triple emitted exactly once within the
+    // horizon — the fixture's event-time span sits inside the 365-day TTL,
+    // so the output equals batch DISTINCT and the state stays bounded
     "str2_stream_dedup" -> ((s, d) => {
       val tmp = streamFixture(s, d)
       val trip = graft.streaming.TranscriptStream.triples(
-        graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable)
-      val q = graft.streaming.TranscriptStream.dedupedTriples(trip)
+        graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable,
+        carryEventTime = true)
+      val q = graft.streaming.TranscriptStream.dedupedTriplesTtl(trip,
+          ttl = java.time.Duration.ofDays(365))
         .toDF("subj", "pred", "obj")
         .writeStream.outputMode("append").format("memory")
         .queryName("graft_stream_dedup").start()

@@ -20,19 +20,42 @@ object AnnFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane sign sketch: bit j = sign(Σ_i e[i]·h(i,j)) with
-    * h(i,j) = ±1 from xxhash64(i,j). Deterministic; `planes` bits packed
-    * into a long.
+  /** Random-hyperplane sign sketch: bit j = sign(Σ_i e[i]·h(i,j,seed)) with
+    * h = ±1 from xxhash64. Deterministic; `planes` bits packed into a long.
+    * Distinct `seed`s give independent hyperplane sets — the basis for
+    * OR-amplification across sketch tables.
     */
-  def signSketch(emb: Column, planes: Int): Column = {
+  def signSketch(emb: Column, planes: Int, seed: Int = 0): Column = {
+    // seed 0 keeps the two-arg hash so table 0 stays bit-identical to the
+    // single-table sketch (stable bucket ids across versions)
+    def h(i: Column, j: Column): Column =
+      if (seed == 0) xxhash64(i, j) else xxhash64(i, j, lit(seed))
     val bits = transform(sequence(lit(0), lit(planes - 1)), j => {
       val s = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (v, i) => v * (xxhash64(i, j).bitwiseAND(1L) * 2L - 1L).cast("double")),
+          (v, i) => v * (h(i, j).bitwiseAND(1L) * 2L - 1L).cast("double")),
         lit(0.0d), (acc, v) => acc + v)
       when(s > 0, 1L).otherwise(0L)
     })
     aggregate(bits, lit(0L), (acc, b) => call_function("shiftleft", acc, lit(1)).bitwiseOR(b))
+  }
+
+  /** Analytic recall of the multi-probe, OR-amplified sign-sketch blocking
+    * for a pair at the given cosine: each plane disagrees with probability
+    * q = acos(cosine)/π (Goemans-Williamson), a single table finds the pair
+    * iff the sketches differ in ≤ probeBits planes, so
+    * P₁ = Σ_{j≤probeBits} C(planes,j)·qʲ·(1−q)^(planes−j), and L independent
+    * tables give recall 1 − (1 − P₁)^L. Use it to size `tables` for a
+    * recall target at the threshold — e.g. planes=8, probeBits=2 at
+    * cosine 0.93 gives P₁ ≈ 0.94, so tables=2 ⇒ ≈ 0.996.
+    */
+  def sketchRecall(cosine: Double, planes: Int, probeBits: Int, tables: Int): Double = {
+    val q = math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+    def choose(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    val p1 = (0 to probeBits).map(j =>
+      choose(planes, j) * math.pow(q, j) * math.pow(1 - q, planes - j)).sum
+    1.0 - math.pow(1.0 - p1, tables)
   }
 
   /** Multi-probe bucket set: the sketch plus every variant within
@@ -81,19 +104,25 @@ object AnnFunctions {
     * The sketch is computed once per row and staged as a column — round 1
     * re-evaluated the full 64-term sketch aggregate inside each probe's
     * lambda.
+    *
+    * `tables` > 1 OR-amplifies recall with independent hyperplane sets
+    * (join key = (table_idx, bucket)); see [[sketchRecall]] for the formula
+    * that sizes it against a recall target.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, cId: String, embCol: String, k: Int,
-              planes: Int = 8, probeBits: Int = 2): DataFrame = {
+              planes: Int = 8, probeBits: Int = 2, tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(tables >= 1, s"tables must be >= 1: $tables")
+    val sketches = (0 until tables).map(t => signSketch(col(embCol), planes, t))
     val cS = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"),
-      signSketch(col(embCol), planes).as("bucket"))
+        posexplode(array(sketches: _*)).as(Seq("tbl", "bucket")))
     val qS = queries
       .select(col(qId).as("query_id"), col(embCol).as("q_emb"),
-        signSketch(col(embCol), planes).as("sk"))
-      .select(col("query_id"), col("q_emb"),
+        posexplode(array(sketches: _*)).as(Seq("tbl", "sk")))
+      .select(col("query_id"), col("q_emb"), col("tbl"),
         explode(probeBuckets(col("sk"), planes, probeBits)).as("bucket"))
-    qS.join(cS, Seq("bucket"))
+    qS.join(cS, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cosine"))

@@ -245,23 +245,36 @@ object DedupFunctions {
     * values within `probeBits` bit flips) — round 1 used a single exact
     * bucket per item, so pairs whose sketches differed in even one plane
     * were silently dropped (d5 returned 0 rows with nothing to catch it).
+    *
+    * Recall: multi-probe alone structurally misses borderline pairs — at
+    * cosine ≈ 0.93 each of 8 planes flips w.p. ≈ 0.12, so P(> 2 planes
+    * differ) ≈ 6%. `tables` > 1 OR-amplifies with independent hyperplane
+    * sets (join key = (table_idx, bucket)): recall = 1 − (1 − P₁)^L per
+    * [[AnnFunctions.sketchRecall]] — tables=2 lifts 0.94 → ≈ 0.996 at
+    * cosine 0.93. Shuffle scales linearly in `tables`; size it with the
+    * formula against the threshold's recall target.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, embCol: String,
                         threshold: Double = 0.95, planes: Int = 8,
-                        probeBits: Int = 2): DataFrame = {
-    val sketch = AnnFunctions.signSketch(col(embCol), planes)
-    val withS = df.select(col(idCol).as("id"), col(embCol).as("e"), sketch.as("bucket"))
+                        probeBits: Int = 2, tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1: $tables")
+    val sketches = (0 until tables).map(t => AnnFunctions.signSketch(col(embCol), planes, t))
+    val withS = df.select(col(idCol).as("id"), col(embCol).as("e"),
+        array(sketches: _*).as("sketches"))
       .localCheckpoint()
-    val a = withS.select(
-      explode(AnnFunctions.probeBuckets(col("bucket"), planes, probeBits)).as("bucket"),
-      col("id").as("id_a"), col("e").as("e_a"))
-    val b = withS.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"))
-    a.join(b, Seq("bucket"))
+    val a = withS
+      .select(col("id").as("id_a"), col("e").as("e_a"),
+        posexplode(col("sketches")).as(Seq("tbl", "sk")))
+      .select(col("id_a"), col("e_a"), col("tbl"),
+        explode(AnnFunctions.probeBuckets(col("sk"), planes, probeBits)).as("bucket"))
+    val b = withS.select(col("id").as("id_b"), col("e").as("e_b"),
+      posexplode(col("sketches")).as(Seq("tbl", "bucket")))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         AnnFunctions.cosine(col("e_a"), col("e_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      // a pair can meet in several probed buckets — dedup (cosine identical)
+      // a pair can meet in several probed buckets/tables — dedup (cosine identical)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }
 }

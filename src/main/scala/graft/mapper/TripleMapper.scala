@@ -82,7 +82,8 @@ object TripleMapper {
       sourceNum: Column,
       minimal: Boolean = true,
       tableResource: String = "_:table1",
-      withCellErrors: Boolean = false): DataFrame = {
+      withCellErrors: Boolean = false,
+      carry: Seq[String] = Nil): DataFrame = {
 
     val base = table.url
     val cols = table.columns
@@ -242,12 +243,14 @@ object TripleMapper {
       rowTriples.toSeq ++ describesTriples.toSeq ++ cols.flatMap(columnTriples)
     val all = flatten(array(allParts: _*))
 
+    // `carry` threads input columns (e.g. an event-time timestamp for
+    // streaming-state TTL) through the explode unchanged
     val exploded = staged
-      .select(col("__skolem"), explode(all).as("__t"))
-      .select(
+      .select(Seq(col("__skolem"), explode(all).as("__t")) ++ carry.map(col): _*)
+      .select(Seq(
         col("__t.subj").as("subj"), col("__t.pred").as("pred"),
         col("__t.obj").as("obj"), col("__t.obj_iri").as("obj_iri"),
-        col("__t.lang").as("lang"), col("__t.dtype").as("dtype"))
+        col("__t.lang").as("lang"), col("__t.dtype").as("dtype")) ++ carry.map(col): _*)
     exploded
   }
 

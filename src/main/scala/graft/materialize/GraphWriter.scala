@@ -28,17 +28,19 @@ object GraphWriter {
     * agg-partitioned output per file — the ordering guarantee Iceberg
     * sorted writes give at scale; no global orderBy range exchange.
     */
-  def writeTriples(triples: DataFrame, path: String, partitions: Int = 0): Unit = {
+  def writeTriples(triples: DataFrame, path: String, partitions: Int = 0,
+                   metrics: Map[String, Long] = Map.empty): Unit = {
     val spark = triples.sparkSession
     val deduped0 = triples.dropDuplicates()
     val deduped =
       (if (partitions > 0) deduped0.repartition(partitions) else deduped0)
         .sortWithinPartitions("subj", "pred", "obj")
     deduped.write.mode(SaveMode.Overwrite).parquet(path)
-    writeLineage(spark, path)
+    writeLineage(spark, path, metrics)
   }
 
-  private def writeLineage(spark: SparkSession, path: String): Unit = {
+  private def writeLineage(spark: SparkSession, path: String,
+                           metrics: Map[String, Long] = Map.empty): Unit = {
     val written = spark.read.parquet(path)
     val lineage = written
       .groupBy(spark_partition_id().as("partition_id"))
@@ -46,7 +48,13 @@ object GraphWriter {
            min(col("subj")).as("min_subj"), max(col("subj")).as("max_subj"))
     lineage.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path.lineage")
     val total = written.count()
-    val manifest = s"""{"path":"$path","rows":$total,"stage_complete":true}"""
+    // run metrics (e.g. ValidateGate severity counts) ride in the manifest so
+    // a resume can see whether the producing run was clean
+    val metricsJson =
+      if (metrics.isEmpty) ""
+      else metrics.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(""","metrics":{""", ",", "}")
+    val manifest = s"""{"path":"$path","rows":$total,"stage_complete":true$metricsJson}"""
     Files.writeString(Paths.get(s"${dirOf(path)}/_MANIFEST_${nameOf(path)}.json"), manifest)
   }
 

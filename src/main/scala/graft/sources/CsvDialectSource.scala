@@ -55,21 +55,38 @@ object CsvDialectSource extends Serializable {
     * embedded-metadata header extraction (`metadata.rb:1794-1888`).
     *
     * Dialect `encoding` and custom `lineTerminators` are honored via a
-    * driver-side decode leg (CSVW metadata-driven files are config-scale
-    * inputs; the 100 TB path is parquet/Iceberg). Known divergence
-    * (documented): records are framed by lines, so quoted fields containing
-    * line terminators are NOT supported on this path — use [[read]]
-    * (multiLine) for such files.
+    * driver-side decode leg, and quoted fields containing line terminators
+    * are assembled into full records before numbering — the reference's
+    * Ruby CSV counts RECORDS, not physical lines (`metadata.rb:887-902`:
+    * `number + skipped` advance per `csv.shift`), so source numbers here are
+    * record-based too. Multiline assembly is a sequential per-file fold;
+    * CSVW metadata-driven files are config-scale inputs (the 100 TB path is
+    * parquet/Iceberg), and the common no-embedded-newline case keeps the
+    * distributed per-line scan after one cheap open-quote probe pass.
     */
   def readExact(spark: SparkSession, path: String, dialect: DialectMeta): ExactResult = {
     val defaultFraming =
       dialect.encoding.equalsIgnoreCase("utf-8") &&
         (dialect.lineTerminators == List("\r\n", "\n") || dialect.lineTerminators == List("\n"))
+    val quoteCh = dialect.quoteChar.headOption.getOrElse('"')
+    val delimCh = dialect.delimiter.head
+    val dq = dialect.doubleQuote
+    def multiline(physical: Seq[String]): Seq[(Long, String)] =
+      assembleRecords(physical, delimCh, quoteCh, dq).zipWithIndex
+        .map { case (rec, idx) => ((idx + 1).toLong, rec) }
     val lines =
-      if (defaultFraming)
-        spark.sparkContext.textFile(path).zipWithIndex()
-          .map { case (l, i) => (i + 1, l) } // 1-based physical line number
-      else {
+      if (defaultFraming) {
+        val raw = spark.sparkContext.textFile(path)
+        val anyOpen = raw
+          .mapPartitions(it => Iterator.single(it.exists(l => quoteOpenAtEnd(l, delimCh, quoteCh, dq))))
+          .filter(identity).take(1).nonEmpty
+        if (!anyOpen)
+          // every line is a complete record: line number == record number
+          raw.zipWithIndex().map { case (l, i) => (i + 1, l) }
+        else
+          // embedded line terminators: sequential record assembly (exact)
+          spark.sparkContext.parallelize(multiline(raw.collect().toSeq))
+      } else {
         // non-default charset / terminators: decode on the driver, then
         // distribute (single-document scale by construction)
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
@@ -85,8 +102,7 @@ object CsvDialectSource extends Serializable {
           }
         }
         if (start < text.length) out += text.substring(start)
-        spark.sparkContext.parallelize(
-          out.toSeq.zipWithIndex.map { case (l, idx) => ((idx + 1).toLong, l) },
+        spark.sparkContext.parallelize(multiline(out.toSeq),
           math.max(out.size / 100000, 1))
       }
     val skip = dialect.skipRows
@@ -151,6 +167,50 @@ object CsvDialectSource extends Serializable {
     */
   def embeddedColumns(headerTitles: List[List[String]], lang: String = "und"): List[ColumnMeta] =
     headerTitles.map(ts => ColumnMeta(titles = ts.map(lang -> _)))
+
+  /** True when `text` ends inside an open quoted region (same state machine
+    * as [[parseCsvLine]]: a quote opens a region only at field start).
+    */
+  def quoteOpenAtEnd(text: String, delim: Char, quote: Char, doubleQuote: Boolean): Boolean = {
+    var i = 0
+    var inQ = false
+    var fieldLen = 0
+    while (i < text.length) {
+      val c = text(i)
+      if (inQ) {
+        if (c == quote) {
+          if (doubleQuote && i + 1 < text.length && text(i + 1) == quote) { i += 1; fieldLen += 1 }
+          else inQ = false
+        } else fieldLen += 1
+      } else {
+        if (c == quote && fieldLen == 0) inQ = true
+        else if (c == delim) fieldLen = 0
+        else fieldLen += 1
+      }
+      i += 1
+    }
+    inQ
+  }
+
+  /** Merge physical lines into CSV records: while a line leaves a quote
+    * open, the next line continues the record (the swallowed terminator is
+    * reinstated as "\n", matching Ruby CSV's row value for quoted embedded
+    * newlines). An unterminated final quote emits the partial record as-is.
+    */
+  def assembleRecords(lines: Seq[String], delim: Char, quote: Char,
+                      doubleQuote: Boolean): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur: StringBuilder = null
+    lines.foreach { l =>
+      if (cur == null) cur = new StringBuilder(l)
+      else { cur += '\n'; cur ++= l }
+      if (!quoteOpenAtEnd(cur.toString, delim, quote, doubleQuote)) {
+        out += cur.toString; cur = null
+      }
+    }
+    if (cur != null) out += cur.toString
+    out.toSeq
+  }
 
   /** Minimal RFC 4180 line parser honoring quoteChar/doubleQuote. */
   def parseCsvLine(line: String, delim: String, quote: Char, doubleQuote: Boolean): Array[String] = {

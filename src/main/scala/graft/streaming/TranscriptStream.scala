@@ -33,7 +33,8 @@ object TranscriptStream {
     * in streaming mode uses turn_idx directly (no window over unbounded
     * input); skolemization is already (conv_id, turn_idx)-deterministic.
     */
-  def triples(stream: DataFrame, table: ResolvedTable): DataFrame =
+  def triples(stream: DataFrame, table: ResolvedTable,
+              carryEventTime: Boolean = false): DataFrame =
     TripleMapper.triples(
       stream.withColumn("ts_lex", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss")),
       table,
@@ -43,7 +44,8 @@ object TranscriptStream {
         "ts" -> col("ts_lex")),
       skolem = concat(col("conv_id"), lit("-"), col("turn_idx")),
       rownum = col("turn_idx") + 1,
-      sourceNum = col("turn_idx") + 1)
+      sourceNum = col("turn_idx") + 1,
+      carry = if (carryEventTime) Seq("ts") else Nil)
 
   /** Watermarked per-conversation turn counts in 1-minute windows. */
   def turnCounts(stream: DataFrame): DataFrame =
@@ -57,10 +59,10 @@ object TranscriptStream {
     * once over the stream's lifetime — the streaming counterpart of the
     * batch sink dedup, for continuous graph materialization.
     *
-    * Scale note: state is one boolean per distinct triple, hash-partitioned
-    * by the state store; for unbounded streams a production deployment
-    * bounds it with event-time TTL (`GroupStateTimeout.EventTimeTimeout`)
-    * at the cost of possible re-emission past the horizon.
+    * Scale note: state is one boolean per distinct triple FOREVER — at
+    * unbounded-stream scale the state store becomes the dataset. Use
+    * [[dedupedTriplesTtl]] unless lifetime-exact dedup is a hard
+    * requirement.
     */
   def dedupedTriples(triples: DataFrame): Dataset[(String, String, String)] = {
     import triples.sparkSession.implicits._
@@ -73,6 +75,59 @@ object TranscriptStream {
          state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else { state.update(true); Iterator.single(key) }
+      }
+  }
+
+  /** Bounded-state streaming dedup: like [[dedupedTriples]] but each
+    * triple's state carries an event-time TTL (`EventTimeTimeout`), so the
+    * state store holds only triples seen within `ttl` of the watermark —
+    * the 100 TB-safe variant.
+    *
+    * Input must carry an event-time column `eventTimeCol` (use
+    * `triples(..., carryEventTime = true)`); `watermarkDelay` is the
+    * allowed event-time lateness.
+    *
+    * Re-emission contract: a triple is emitted once per *horizon window* —
+    * if it reappears after the watermark passed its last-seen time + ttl,
+    * its state was evicted and it is emitted again. Downstream sinks that
+    * need lifetime-exact distinct must merge idempotently (the batch
+    * GraphWriter sink dedups on merge, so re-emission is absorbed there);
+    * within the horizon, emission is exactly-once.
+    */
+  def dedupedTriplesTtl(triples: DataFrame,
+                        eventTimeCol: String = "ts",
+                        watermarkDelay: String = "10 minutes",
+                        ttl: java.time.Duration = java.time.Duration.ofDays(7))
+      : Dataset[(String, String, String)] = {
+    import triples.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ttlMs = ttl.toMillis
+    // the watermarked attribute must reach the typed conversion untouched —
+    // an alias or cast drops the event-time metadata and the analyzer then
+    // rejects EventTimeTimeout
+    triples
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .select(col("subj"), col("pred"), col("obj"), col(eventTimeCol))
+      .as[(String, String, String, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState[Long, (String, String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String, String),
+         rows: Iterator[(String, String, String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val firstSeen = !state.exists
+            // state = max event time seen for this triple; TTL extends on
+            // every re-sight, so "hot" triples stay deduped indefinitely
+            val maxEv = rows.map(_._4.getTime)
+              .foldLeft(state.getOption.getOrElse(Long.MinValue))(math.max)
+            state.update(maxEv)
+            // setTimeoutTimestamp must stay ahead of the current watermark
+            state.setTimeoutTimestamp(
+              math.max(maxEv + ttlMs, state.getCurrentWatermarkMs + 1))
+            if (firstSeen) Iterator.single(key) else Iterator.empty
+          }
       }
   }
 }

@@ -137,6 +137,32 @@ class CsvDialectSourceSpec extends AnyFunSuite {
       List("und" -> "h1a", "und" -> "h2a"))
   }
 
+  test("readExact assembles multiline quoted cells; numbering is record-based") {
+    // the reference's Ruby CSV counts records (csv.shift), not physical
+    // lines: the quoted cell spanning lines 2-3 is ONE record, so the second
+    // data row is record 3 (metadata.rb:887-902)
+    val csv = "name;note\nr1;\"line one\nline two\"\nr2;\"say \"\"hi\"\"\"\n"
+    val f = java.nio.file.Files.createTempFile("dialect_ml", ".csv")
+    java.nio.file.Files.writeString(f, csv)
+    val res = CsvDialectSource.readExact(spark, f.toString, DialectMeta(delimiter = ";"))
+    assert(res.headerTitles == List(List("name"), List("note")))
+    val rows = res.rows.collect().sortBy(_.getLong(0))
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1 && rows(0).getLong(1) == 2)
+    assert(rows(0).getString(2) == "r1" && rows(0).getString(3) == "line one\nline two")
+    assert(rows(1).getLong(0) == 2 && rows(1).getLong(1) == 3)
+    assert(rows(1).getString(3) == "say \"hi\"")
+  }
+
+  test("assembleRecords: open-quote state tracks doubled quotes across lines") {
+    val recs = CsvDialectSource.assembleRecords(
+      Seq("a;\"x\"\"", "still open\"", "b;done"), ';', '"', doubleQuote = true)
+    assert(recs == Seq("a;\"x\"\"\nstill open\"", "b;done"))
+    // unterminated final quote: partial record emitted as-is
+    assert(CsvDialectSource.assembleRecords(Seq("a;\"oops"), ';', '"', doubleQuote = true)
+      == Seq("a;\"oops"))
+  }
+
   test("quoted fields with doubled quotes") {
     val parsed = CsvDialectSource.parseCsvLine("\"a;b\";\"say \"\"hi\"\"\";c", ";", '"', doubleQuote = true)
     assert(parsed.toSeq == Seq("a;b", "say \"hi\"", "c"))
