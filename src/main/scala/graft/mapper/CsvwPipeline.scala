@@ -1,5 +1,6 @@
 package graft.mapper
 
+import graft.expr.CsvwFunctions
 import graft.model._
 import graft.validate.Validations
 
@@ -139,8 +140,18 @@ object CsvwPipeline {
             refTable <- resolved.find(rt => rt.url == fk.resource)
             dst <- bind.get(refTable.url)
           } yield {
+            // FK references come from evaluated CELL values, not raw input:
+            // a null-substituted cell (e.g. null: "xx") collects no
+            // reference in the reference implementation (reader.rb:708-721
+            // iterates cell values, and empty cells contribute none)
             val srcDf = fk.columnReference.foldLeft(src.df) { (d, k) =>
-              d.withColumn(s"__fk_$k", src.inputs.getOrElse(k, col(k)).cast("string"))
+              val in = src.inputs.getOrElse(k, col(k)).cast("string")
+              val fkVal = t.columns.find(_.name == k).map { c =>
+                val cell = CsvwFunctions.csvwCell(in, c)
+                when(cell.getField("isNull"), lit(null))
+                  .otherwise(element_at(cell.getField("vals"), 1).getField("lex"))
+              }.getOrElse(in)
+              d.withColumn(s"__fk_$k", fkVal.cast("string"))
             }
             val dstDf = fk.referencedColumns.foldLeft(dst.df) { (d, k) =>
               d.withColumn(s"__ref_$k", dst.inputs.getOrElse(k, col(k)).cast("string"))
