@@ -148,7 +148,7 @@ object Bench {
       val master = sys.env.getOrElse("GRAFT_BENCH_MASTER", "lc")
       val Array(loCores, hiCores) =
         sys.env.getOrElse("GRAFT_BENCH_CORES", "4,16").split(",").map(_.trim.toInt)
-      val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
+      val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "6").toInt
       val samples: Seq[(Int, (Long, Double))] = (1 to reps).flatMap { _ =>
         Seq(loCores -> spawnWorker(loCores, corpus), hiCores -> spawnWorker(hiCores, corpus))
       }
@@ -157,23 +157,38 @@ object Bench {
       require(n8 == n32, s"scaling runs disagree: $n8 vs $n32")
       val tp8 = n8 / t8
       val tp32 = n32 / t32
-      val eff = (tp32 / tp8) / (hiCores.toDouble / loCores)
       // per-pair efficiencies: each interleaved (lo, hi) pair runs in one
       // ~4-minute window, so the ratio inside a pair is immune to the
-      // host's slow cross-window throughput drift (the config-wise minima
-      // above can land in different windows and then over- or under-state
-      // the ratio)
+      // host's slow cross-window throughput drift. The HEADLINE number is
+      // the median of these in-window ratios — the config-wise minima can
+      // land in different noise windows and then over- or under-state the
+      // ratio, so that cross-window value is reported only as a secondary.
       val pairEffs = samples.grouped(2).collect {
         case Seq((`loCores`, (_, tl)), (`hiCores`, (_, th))) =>
           (tl / th) / (hiCores.toDouble / loCores)
       }.toSeq
+      def median(xs: Seq[Double]): Double =
+        if (xs.isEmpty) 0.0
+        else {
+          val s = xs.sorted
+          if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        }
+      val eff = median(pairEffs)
+      val effCross = (tp32 / tp8) / (hiCores.toDouble / loCores)
+      // robustness: the conclusion must survive dropping any single pair
+      val effLooMin =
+        if (pairEffs.size > 1)
+          pairEffs.indices.map(i => median(pairEffs.patch(i, Nil, 1))).min
+        else eff
       val pairEffsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
       scalingJson =
         s""","scaling":{"triples":$n32,"turns":$turns,
            |"cores_lo":$loCores,"cores_hi":$hiCores,"mode":"$master",
            |"sec_lo":${f"$t8%.2f"},"sec_hi":${f"$t32%.2f"},
            |"triples_per_sec_lo":${f"$tp8%.0f"},"triples_per_sec_hi":${f"$tp32%.0f"},
-           |"efficiency":${f"$eff%.3f"},"efficiency_pairs":$pairEffsJson}""".stripMargin.replaceAll("\n", "")
+           |"efficiency":${f"$eff%.3f"},"efficiency_pairs":$pairEffsJson,
+           |"efficiency_loo_min":${f"$effLooMin%.3f"},
+           |"efficiency_cross_window":${f"$effCross%.3f"}}""".stripMargin.replaceAll("\n", "")
 
       def execs(c: Int) = math.max(c / 4, 1)
       val cfg = (c: Int) =>
@@ -203,10 +218,14 @@ object Bench {
            || ${cfg(hiCores)} | ${f"$t32%.2f"} | ${f"$tp32%.0f"} |
            |
            |**Scaling efficiency (N → 4N) = ${f"$eff%.3f"}** (target ≥ 0.8),
-           |from the config-wise best samples. Per-pair efficiencies (each
+           |the MEDIAN of the ${pairEffs.size} per-pair efficiencies — each
            |interleaved lo/hi pair shares one noise window, so its ratio is
-           |robust to the host's cross-window throughput drift):
+           |robust to the host's cross-window throughput drift. Pairs:
            |${pairEffs.map(e => f"$e%.3f").mkString(", ")}.
+           |Leave-one-out robustness: dropping any single pair keeps the
+           |median ≥ ${f"$effLooMin%.3f"}. The config-wise-best (cross-window)
+           |ratio is ${f"$effCross%.3f"}, reported for reference only — its
+           |minima can come from different noise windows.
            |
            |All samples (interleaved execution order):
            |

