@@ -174,6 +174,106 @@ case class UriTemplateExpandExpr(
     copy(children = newChildren)
 }
 
+/** Plan-time-constant emission config for one fused literal column:
+  * predicate IRI, optional language tag, optional datatype IRI, and whether
+  * the base type is `string` (strings keep their language tag and never a
+  * datatype; non-strings carry the datatype when the lexical form validated
+  * and fall back to the language tag when it did not — `metadata.rb:2091-2096`).
+  */
+final case class LitTripleSpec(
+    pred: String, lang: String, dtypeIri: String, isString: Boolean)
+
+/** Helper bound into codegen for [[LitTriplesExpr]]: builds the whole
+  * per-row `array<triple>` for a group of plain-literal columns in one call,
+  * replacing k `transform` lambdas + `flatten` (k intermediate arrays and
+  * the per-element struct expression trees) with a single preallocated
+  * array fill.
+  */
+final class TripleArrayEvaluator(val specs: Array[LitTripleSpec]) extends Serializable {
+  private val preds = specs.map(s => UTF8String.fromString(s.pred))
+  private val langs =
+    specs.map(s => if (s.lang == null) null else UTF8String.fromString(s.lang))
+  private val dtypes =
+    specs.map(s => if (s.dtypeIri == null) null else UTF8String.fromString(s.dtypeIri))
+
+  /** about: the shared subject; cells: one `array<struct<lex,ok>>` per spec. */
+  def eval(about: UTF8String, cells: Array[AnyRef]): ArrayData = {
+    var total = 0
+    var i = 0
+    while (i < cells.length) {
+      total += cells(i).asInstanceOf[ArrayData].numElements(); i += 1
+    }
+    val out = new Array[Any](total)
+    var k = 0
+    i = 0
+    while (i < cells.length) {
+      val vals = cells(i).asInstanceOf[ArrayData]
+      val isString = specs(i).isString
+      val n = vals.numElements()
+      var j = 0
+      while (j < n) {
+        val v = vals.getStruct(j, 2)
+        val ok = v.getBoolean(1)
+        val lang = if (isString || !ok) langs(i) else null
+        val dtype = if (!isString && ok) dtypes(i) else null
+        out(k) = InternalRow(about, preds(i), v.getUTF8String(0), false, lang, dtype)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Fused construction of the per-row triple array for all plain-literal
+  * columns sharing one subject (the dominant shape of a transcript mapping:
+  * every column same hoisted aboutUrl, constant predicate/lang/datatype).
+  * Children: the shared subject followed by one cell-vals array per spec.
+  */
+case class LitTriplesExpr(children: Seq[Expression], specs: Seq[LitTripleSpec])
+    extends Expression {
+
+  require(children.length == specs.length + 1,
+    s"expected 1 subject + ${specs.length} cell arrays, got ${children.length}")
+  private lazy val evaluator = new TripleArrayEvaluator(specs.toArray)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("subj", StringType), StructField("pred", StringType),
+    StructField("obj", StringType), StructField("obj_iri", BooleanType),
+    StructField("lang", StringType), StructField("dtype", StringType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    evaluator.eval(
+      children.head.eval(input).asInstanceOf[UTF8String],
+      children.tail.map(_.eval(input).asInstanceOf[AnyRef]).toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tripleEval", evaluator, classOf[TripleArrayEvaluator].getName)
+    val aboutGen = children.head.genCode(ctx)
+    val cellGens = children.tail.map(_.genCode(ctx))
+    val arr = ctx.freshName("cellArgs")
+    val fills = cellGens.zipWithIndex.map { case (g, i) =>
+      s"$arr[$i] = ${g.isNull} ? null : (Object) ${g.value};"
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        ${aboutGen.code}
+        ${cellGens.map(_.code).reduceOption(_ + _).getOrElse(code"")}
+        Object[] $arr = new Object[${cellGens.length}];
+        $fills
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $ref.eval(${aboutGen.isNull} ? null : ${aboutGen.value}, $arr);
+        boolean ${ev.isNull} = false;
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LitTriplesExpr =
+    copy(children = newChildren)
+}
+
 /** Column-API entry points for the custom expressions. */
 object CsvwFunctions {
   import org.apache.spark.sql.GraftBridge
@@ -185,4 +285,28 @@ object CsvwFunctions {
                   vars: Seq[(String, Column)], decodeUri: Boolean = false): Column =
     GraftBridge.column(UriTemplateExpandExpr(
       vars.map(v => GraftBridge.expression(v._2)), vars.map(_._1), template, base, decodeUri))
+
+  def litTriples(about: Column, cells: Seq[Column], specs: Seq[LitTripleSpec]): Column =
+    GraftBridge.column(LitTriplesExpr(
+      (about +: cells).map(GraftBridge.expression), specs))
+
+  /** Plan-time expansion of a template whose variables are all known
+    * constants (used to bake constant predicates into [[LitTripleSpec]]s) —
+    * the Column→Expression bridge wraps literals in lazy ColumnNode
+    * expressions that never report foldable, so constness is decided here
+    * from the template's variable set instead.
+    */
+  def constTemplate(template: UriTemplate.Compiled, base: String,
+                    vars: Map[String, String]): Option[String] = {
+    val used = template.parts.collect {
+      case UriTemplate.Expr(_, vs) => vs.map(_.name)
+    }.flatten.toSet
+    if (!used.subsetOf(vars.keySet)) None
+    else {
+      val names = used.toArray
+      val ev = new TemplateEvaluator(template, base, names, decodeUri = false)
+      Some(ev.eval(names.map(n =>
+        UTF8String.fromString(vars(n)).asInstanceOf[AnyRef])).toString)
+    }
+  }
 }

@@ -239,8 +239,50 @@ object TripleMapper {
         Some(titleTrs.foldLeft(fixed)((acc, t) => concat(acc, t)))
       }
 
+    // Fused fast path: plain-literal columns (no valueUrl, no list emission)
+    // whose predicate folds to a plan-time constant and whose subject is
+    // either the default skolem or a hoisted aboutUrl column emit through
+    // ONE LitTriplesExpr per subject group — a single preallocated array
+    // fill per row instead of k transform lambdas + flatten intermediates.
+    def staticPred(c: ResolvedColumn): Option[String] = c.propertyUrl match {
+      case None => Some(Iri.recompose(Iri.parse(base).copy(fragment = Some(c.name))))
+      case Some(t) => CsvwFunctions.constTemplate(t, base, Map(
+        "_name" -> Iri.pctDecode(c.name),
+        "_column" -> c.number.toString,
+        "_sourceColumn" -> c.sourceNumber.toString))
+    }
+    val fusedCandidates: Seq[(String, ResolvedColumn, String)] =
+      cols.filterNot(_.suppressOutput).flatMap { c =>
+        val plainLit = c.valueUrl.isEmpty && !(c.ordered && c.separator.isDefined)
+        val aboutKey: Option[String] = c.aboutUrl match {
+          case None => Some("__default__")
+          case Some(t) => aboutTemplates.get(t.template) // hoisted = row-constant
+        }
+        if (!plainLit) None
+        else for {
+          key <- aboutKey
+          p <- staticPred(c)
+        } yield (key, c, p)
+      }
+    val fusedNames = fusedCandidates.map(_._2.name).toSet
+    val fusedParts: Seq[Column] = fusedCandidates.groupBy(_._1).toSeq
+      .sortBy(_._1).map { case (key, entries) =>
+        val about = if (key == "__default__") defaultSubject else col(key)
+        graft.expr.CsvwFunctions.litTriples(
+          about,
+          entries.map { case (_, c, _) => vals(c) },
+          entries.map { case (_, c, p) =>
+            graft.expr.LitTripleSpec(
+              pred = p,
+              lang = if (c.lang != "und") c.lang else null,
+              dtypeIri = if (c.datatypeBase == "string") null else c.datatypeIri,
+              isString = c.datatypeBase == "string")
+          }).cast(tripleArray)
+      }
+
     val allParts: Seq[Column] =
-      rowTriples.toSeq ++ describesTriples.toSeq ++ cols.flatMap(columnTriples)
+      rowTriples.toSeq ++ describesTriples.toSeq ++ fusedParts ++
+        cols.filterNot(c => fusedNames.contains(c.name)).flatMap(columnTriples)
     val all = flatten(array(allParts: _*))
 
     // `carry` threads input columns (e.g. an event-time timestamp for

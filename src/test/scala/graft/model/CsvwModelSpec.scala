@@ -71,6 +71,20 @@ class CsvwModelSpec extends AnyFunSuite {
     assert(t.columns(2).name == "explicit")
   }
 
+  test("column name prefers the declared-language title over 'und'") {
+    // metadata.rb name: titles[context.default_language] is checked BEFORE
+    // titles['und'] — a column with both resolves to the language-tagged one
+    val json = """{
+      "url": "http://e/t.csv",
+      "tableSchema": {"columns": [
+        {"lang": "en", "titles": {"und": "staat", "en": "country"}},
+        {"titles": {"und": "staat", "en": "country"}}]}}"""
+    val t = Resolve.group(CsvwJson.parseTableGroup(json)).head
+    assert(t.columns(0).name == "country")
+    // no declared language → 'und' wins
+    assert(t.columns(1).name == "staat")
+  }
+
   test("dialect dynamic defaults: headerRowCount and trim") {
     assert(DialectMeta().effectiveHeaderRowCount == 1)
     assert(DialectMeta(header = false).effectiveHeaderRowCount == 0)
