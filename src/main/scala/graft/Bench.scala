@@ -194,8 +194,10 @@ object Bench {
       val cfg = (c: Int) =>
         if (master == "lc") s"local-cluster[${execs(c)} executors × 4 cores, 4g each]"
         else s"local[$c]"
+      // doubled leading pipe: stripMargin on the enclosing template treats a
+      // line's first '|' as the margin and would otherwise eat the table border
       val sampleRows = samples.zipWithIndex.map { case ((c, (_, t)), i) =>
-        s"| ${i / 2 + 1} | ${cfg(c)} | ${f"$t%.2f"} |"
+        s"|| ${i / 2 + 1} | ${cfg(c)} | ${f"$t%.2f"} |"
       }.mkString("\n")
       val md =
         s"""# BENCH scaling evidence (north rule: N → 4N executors)
