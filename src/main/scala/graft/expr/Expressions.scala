@@ -274,6 +274,89 @@ case class LitTriplesExpr(children: Seq[Expression], specs: Seq[LitTripleSpec])
     copy(children = newChildren)
 }
 
+/** Helper bound into codegen for [[SimHash64Expr]]: one pass over the token
+  * array (each token hashed ONCE) instead of 64 aggregate traversals — the
+  * result is bit-for-bit the HOF formulation (bit 63−i = sign of the ±1 sum
+  * over tokens' hash-bit i, hash = xxhash64 seed 42).
+  */
+object SimHashRuntime extends Serializable {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) { acc = (acc << 1) | (if (counts(b) > 0) 1L else 0L); b += 1 }
+    acc
+  }
+
+  /** MinHash signature: sig[k] = min over shingles of xxhash64(shingle, k) —
+    * the string hashed once per shingle (the HOF form re-hashed it k times),
+    * then k cheap int-extension hashes, zero per-step array allocation.
+    * Matches Spark's multi-child xxhash64 chaining: seed 42 → string → int.
+    */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val acc = Array.fill[Long](numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h1 = XxHash64Function.hash(shingles.getUTF8String(i), StringType, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val hk = XxHash64Function.hash(k, IntegerType, h1)
+        if (hk < acc(k)) acc(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(acc) // primitive Array[Long] overload
+  }
+}
+
+/** 64-bit SimHash over a token array as one fused codegen call. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashRuntime.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.SimHashRuntime$$.MODULE$$.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle array as one fused codegen call. */
+case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashRuntime.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.SimHashRuntime$$.MODULE$$.minhashSig($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the custom expressions. */
 object CsvwFunctions {
   import org.apache.spark.sql.GraftBridge
@@ -289,6 +372,12 @@ object CsvwFunctions {
   def litTriples(about: Column, cells: Seq[Column], specs: Seq[LitTripleSpec]): Column =
     GraftBridge.column(LitTriplesExpr(
       (about +: cells).map(GraftBridge.expression), specs))
+
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(shingles), numHashes))
 
   /** Plan-time expansion of a template whose variables are all known
     * constants (used to bake constant predicates into [[LitTripleSpec]]s) —

@@ -23,17 +23,15 @@ object DedupFunctions {
       .filter(col("dup_count") > 1)
 
   /** MinHash signature: k independent permutations approximated by seeded
-    * xxhash64; sig[k] = min over shingles of hash(shingle, k).
+    * xxhash64; sig[k] = min over shingles of hash(shingle, k). Fused codegen
+    * ([[graft.expr.MinHashSigExpr]]): each shingle's string hashes once and
+    * extends with k cheap int hashes — the round-2 HOF formulation re-hashed
+    * the string k times and rebuilt the k-slot accumulator array per shingle.
+    * Bit-identical to `xxhash64(shingle, k)` (spec-pinned).
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
-    val sh = array_distinct(TextFunctions.shingles(text, shingleSize))
-    // single pass over shingles maintaining all k minima — the shingle
-    // subtree appears once in the plan instead of k times
-    aggregate(sh,
-      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, k) => least(m, xxhash64(s, k))))
-  }
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column =
+    graft.expr.CsvwFunctions.minhashSig(
+      array_distinct(TextFunctions.shingles(text, shingleSize)), numHashes)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
     * hash each band → (doc, band_idx, band_hash). Docs sharing any band
@@ -76,18 +74,15 @@ object DedupFunctions {
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
-  /** 64-bit SimHash over tokens — pure expression: per bit, sum ±1 weighted
-    * by the token-hash bit, then pack the sign bits.
+  /** 64-bit SimHash over tokens: per bit, sum ±1 weighted by the token-hash
+    * bit, then pack the sign bits. Fused codegen
+    * ([[graft.expr.SimHash64Expr]]): one pass over the tokens with each
+    * token hashed once — the round-2 HOF formulation traversed the token
+    * array 64 times (once per bit) and re-hashed the token each time.
+    * Bit-identical to the HOF form (spec-pinned).
     */
-  def simhash(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    val bits = transform(sequence(lit(0), lit(63)), i =>
-      when(aggregate(toks, lit(0L),
-        (acc, t) => acc + (call_function("shiftright", xxhash64(t), i.cast("int")).bitwiseAND(1L) * 2L - 1L)) > 0, 1L).otherwise(0L))
-    // bitwise shift, not acc*2: packing the top bit would overflow a signed
-    // long under ANSI mode
-    aggregate(bits, lit(0L), (acc, b) => call_function("shiftleft", acc, lit(1)).bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.expr.CsvwFunctions.simhash64(TextFunctions.tokens(text))
 
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -160,6 +160,41 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("fused SimHash64Expr is bit-identical to the HOF formulation") {
+    import graft.functions.TextFunctions
+    // the round-2 expression form, kept as the semantic reference
+    def legacySimhash(text: org.apache.spark.sql.Column) = {
+      val toks = TextFunctions.tokens(text)
+      val bits = transform(sequence(lit(0), lit(63)), i =>
+        when(aggregate(toks, lit(0L),
+          (acc, t) => acc + (call_function("shiftright", xxhash64(t), i.cast("int"))
+            .bitwiseAND(1L) * 2L - 1L)) > 0, 1L).otherwise(0L))
+      aggregate(bits, lit(0L),
+        (acc, b) => call_function("shiftleft", acc, lit(1)).bitwiseOR(b))
+    }
+    val rows = corpus.select(
+      DedupFunctions.simhash(col("text")).as("fused"),
+      legacySimhash(col("text")).as("legacy"))
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (f, l) => f == l })
+  }
+
+  test("fused MinHashSigExpr is bit-identical to the HOF formulation") {
+    import graft.functions.TextFunctions
+    def legacyMinhash(text: org.apache.spark.sql.Column, k: Int) = {
+      val sh = array_distinct(TextFunctions.shingles(text, 3))
+      aggregate(sh,
+        transform(sequence(lit(0), lit(k - 1)), _ => lit(Long.MaxValue)),
+        (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+          (m, j) => least(m, xxhash64(s, j))))
+    }
+    val rows = corpus.select(
+      DedupFunctions.minhashSignature(col("text"), 32, 3).as("fused"),
+      legacyMinhash(col("text"), 32).as("legacy"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(rows.nonEmpty && rows.forall { case (f, l) => f == l })
+  }
+
   test("probeBuckets enumerates exactly the sketches within probeBits flips") {
     val df = Seq(Tuple1(0L)).toDF("b")
       .select(AnnFunctions.probeBuckets(col("b"), planes = 8, probeBits = 2).as("p"))
