@@ -325,6 +325,92 @@ object SimHashRuntime extends Serializable {
   }
 }
 
+/** Helper bound into codegen for [[SignSketchExpr]]: the hyperplane matrix
+  * h(i, j) = ±1 from xxhash64 is DATA-INDEPENDENT, so it is computed once
+  * per (planes, seed, dim) and cached on the evaluator — per row only
+  * dim×planes multiply-adds remain (the HOF form re-hashed every (i, j)
+  * pair for every row and traversed the embedding once per plane).
+  * Bit-identical to the HOF form: same hash chaining (i → j [→ seed]),
+  * same fold order, same sign rule (sum > 0).
+  */
+final class SignSketchEvaluator(val planes: Int, val seed: Int) extends Serializable {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  @transient @volatile private var signs: Array[Array[Double]] = _ // [plane][dim]
+
+  private def signsFor(dim: Int): Array[Array[Double]] = {
+    val cur = signs
+    if (cur != null && cur(0).length >= dim) return cur
+    synchronized {
+      val c2 = signs
+      if (c2 != null && c2(0).length >= dim) return c2
+      val fresh = Array.tabulate(planes) { j =>
+        Array.tabulate(math.max(dim, 64)) { i =>
+          val h1 = XxHash64Function.hash(i, IntegerType, 42L)
+          val h2 = XxHash64Function.hash(j, IntegerType, h1)
+          val h = if (seed == 0) h2 else XxHash64Function.hash(seed, IntegerType, h2)
+          ((h & 1L) * 2L - 1L).toDouble
+        }
+      }
+      signs = fresh
+      fresh
+    }
+  }
+
+  /** isFloat: element type of the array (float widens to double per element,
+    * matching the HOF form's implicit cast).
+    */
+  def eval(emb: ArrayData, isFloat: Boolean): Long = {
+    val n = emb.numElements()
+    var i = 0
+    while (i < n) { if (emb.isNullAt(i)) return 0L; i += 1 } // null ⇒ all sums null ⇒ all bits 0
+    val m = signsFor(n)
+    var acc = 0L
+    var j = 0
+    while (j < planes) {
+      val row = m(j)
+      var s = 0.0d
+      i = 0
+      while (i < n) {
+        val v = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+        s += v * row(i)
+        i += 1
+      }
+      acc = (acc << 1) | (if (s > 0) 1L else 0L)
+      j += 1
+    }
+    acc
+  }
+}
+
+/** Random-hyperplane sign sketch over an embedding array as one fused
+  * codegen call with a cached hyperplane matrix.
+  */
+case class SignSketchExpr(child: Expression, planes: Int, seed: Int)
+    extends UnaryExpression {
+  private lazy val evaluator = new SignSketchEvaluator(planes, seed)
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"signSketch expects array<float|double>, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    evaluator.eval(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sketchEval", evaluator, classOf[SignSketchEvaluator].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.eval($c, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignSketchExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array as one fused codegen call. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -375,6 +461,9 @@ object CsvwFunctions {
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+
+  def signSketch(emb: Column, planes: Int, seed: Int): Column =
+    GraftBridge.column(SignSketchExpr(GraftBridge.expression(emb), planes, seed))
 
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(shingles), numHashes))

@@ -23,22 +23,15 @@ object AnnFunctions {
   /** Random-hyperplane sign sketch: bit j = sign(Σ_i e[i]·h(i,j,seed)) with
     * h = ±1 from xxhash64. Deterministic; `planes` bits packed into a long.
     * Distinct `seed`s give independent hyperplane sets — the basis for
-    * OR-amplification across sketch tables.
+    * OR-amplification across sketch tables. Fused codegen
+    * ([[graft.expr.SignSketchExpr]]): the data-independent hyperplane matrix
+    * is hashed once per (planes, seed, dim) and cached, so each row costs
+    * dim×planes multiply-adds — the HOF form re-hashed every (i, j) pair per
+    * row. Bit-identical to the HOF form (spec-pinned); seed 0 keeps the
+    * two-arg hash chain so table 0's buckets stay stable across versions.
     */
-  def signSketch(emb: Column, planes: Int, seed: Int = 0): Column = {
-    // seed 0 keeps the two-arg hash so table 0 stays bit-identical to the
-    // single-table sketch (stable bucket ids across versions)
-    def h(i: Column, j: Column): Column =
-      if (seed == 0) xxhash64(i, j) else xxhash64(i, j, lit(seed))
-    val bits = transform(sequence(lit(0), lit(planes - 1)), j => {
-      val s = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (v, i) => v * (h(i, j).bitwiseAND(1L) * 2L - 1L).cast("double")),
-        lit(0.0d), (acc, v) => acc + v)
-      when(s > 0, 1L).otherwise(0L)
-    })
-    aggregate(bits, lit(0L), (acc, b) => call_function("shiftleft", acc, lit(1)).bitwiseOR(b))
-  }
+  def signSketch(emb: Column, planes: Int, seed: Int = 0): Column =
+    graft.expr.CsvwFunctions.signSketch(emb, planes, seed)
 
   /** Analytic recall of the multi-probe, OR-amplified sign-sketch blocking
     * for a pair at the given cosine: each plane disagrees with probability

@@ -195,6 +195,34 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall { case (f, l) => f == l })
   }
 
+  test("fused SignSketchExpr is bit-identical to the HOF formulation (both seeds, float+double)") {
+    def legacySketch(emb: org.apache.spark.sql.Column, planes: Int, seed: Int) = {
+      def h(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+        if (seed == 0) xxhash64(i, j) else xxhash64(i, j, lit(seed))
+      val bits = transform(sequence(lit(0), lit(planes - 1)), j => {
+        val s = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (v, i) => v * (h(i, j).bitwiseAND(1L) * 2L - 1L).cast("double")),
+          lit(0.0d), (acc, v) => acc + v)
+        when(s > 0, 1L).otherwise(0L)
+      })
+      aggregate(bits, lit(0L),
+        (acc, b) => call_function("shiftleft", acc, lit(1)).bitwiseOR(b))
+    }
+    val dbl = (0 until 40).map(i =>
+      (i.toLong, (0 until 24).map(j => math.sin(i * 3.7 + j) * 2).toArray))
+      .toDF("id", "e")
+    val flt = dbl.select(col("id"), transform(col("e"), x => x.cast("float")).as("e"))
+    for ((df, seed) <- Seq((dbl, 0), (dbl, 3), (flt, 0), (flt, 3))) {
+      val rows = df.select(
+        AnnFunctions.signSketch(col("e"), 8, seed).as("fused"),
+        legacySketch(col("e"), 8, seed).as("legacy"))
+        .as[(Long, Long)].collect()
+      assert(rows.nonEmpty && rows.forall { case (f, l) => f == l },
+        s"seed=$seed mismatch")
+    }
+  }
+
   test("probeBuckets enumerates exactly the sketches within probeBits flips") {
     val df = Seq(Tuple1(0L)).toDF("b")
       .select(AnnFunctions.probeBuckets(col("b"), planes = 8, probeBits = 2).as("p"))
