@@ -115,7 +115,24 @@ final case class TableGroupMeta(
     dialect: Option[DialectMeta] = None,
     id: Option[String] = None,
     inherited: Inherited = Inherited(),
-    common: List[(String, String)] = Nil)
+    common: List[(String, String)] = Nil) {
+
+  /** Resolve relative table `url`s and foreign-key `resource`s against the
+    * metadata document's base, as the reference normalizes on load
+    * (`metadata.rb:393,1425` `@url = context.base.join(value)`;
+    * `normalize!` `metadata.rb:1106-1131`). Fragment-only urls
+    * (`"#countries"` in `spec/data/countries_embed.html`) resolve to
+    * `<doc>#countries`, so FK routing by url keeps working after rebase.
+    * Template properties (aboutUrl/valueUrl/propertyUrl) are NOT rebased
+    * here — they resolve against the table url at expansion time.
+    */
+  def rebase(base: String): TableGroupMeta =
+    copy(tables = tables.map(t => t.copy(
+      url = Iri.resolve(base, t.url),
+      tableSchema = t.tableSchema.map(s => s.copy(
+        foreignKeys = s.foreignKeys.map(fk =>
+          fk.copy(resource = Iri.resolve(base, fk.resource))))))))
+}
 
 // ---------------------------------------------------------------------------
 // Resolved (plan-time) forms

@@ -79,6 +79,13 @@ object HtmlTableSource {
                 dialect: DialectMeta = DialectMeta()): CsvDialectSource.ExactResult = {
     val html = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
+    fromHtml(spark, html, fragment, dialect)
+  }
+
+  /** Same extraction over an already-fetched document string. */
+  def fromHtml(spark: SparkSession, html: String,
+               fragment: Option[String] = None,
+               dialect: DialectMeta = DialectMeta()): CsvDialectSource.ExactResult = {
     val (titles, data) = extract(html, fragment)
     val skipCols = dialect.skipColumns
     val width = math.max((titles.length - skipCols).max(0),
@@ -92,5 +99,39 @@ object HtmlTableSource {
     CsvDialectSource.ExactResult(
       spark.createDataFrame(spark.sparkContext.parallelize(rows, math.max(rows.size / 10000, 1)), schema),
       titles.drop(skipCols), comments = Nil)
+  }
+
+  /** A parsed HTML document: its `csvm+json` metadata (rebased against the
+    * document url) plus extracted rows for every table whose url is a
+    * fragment of the document itself.
+    */
+  final case class HtmlDocument(
+      group: graft.model.TableGroupMeta,
+      fragmentTables: Map[String, CsvDialectSource.ExactResult])
+
+  /** End-to-end HTML document read — the analog of handing the reference an
+    * `.html` input (`/root/reference/lib/rdf/tabular/metadata.rb:203-208`
+    * HTML dispatch + `:859-881` table extraction): pull the
+    * `application/csvm+json` script metadata, rebase its relative urls
+    * against `docUrl`, and extract rows for each fragment-addressed table
+    * (`"url": "#countries"` in `spec/data/countries_embed.html`). Tables
+    * whose url resolves outside the document (external CSVs, as in
+    * `spec/data/countries.html`) are left to the caller to bind from their
+    * own source.
+    */
+  def readDocument(spark: SparkSession, path: String, docUrl: String,
+                   dialect: DialectMeta = DialectMeta()): HtmlDocument = {
+    val html = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val metaJson = scriptMetadata(html).getOrElse(throw new IllegalArgumentException(
+      s"no <script type=\"application/csvm+json\"> metadata found in $path"))
+    val group = graft.model.CsvwJson.parseTableGroup(metaJson).rebase(docUrl)
+    val fragPrefix = docUrl + "#"
+    val frags = group.tables.collect {
+      case t if t.url.startsWith(fragPrefix) =>
+        t.url -> fromHtml(spark, html, Some(t.url.substring(fragPrefix.length)),
+          t.dialect.getOrElse(dialect))
+    }.toMap
+    HtmlDocument(group, frags)
   }
 }
