@@ -23,7 +23,7 @@ object Bench {
     "j3_entity_link", "j4_connected_components",
     "d1_dedup_exact", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
     "d5_embedding_dup",
-    "s1_ann_topk", "s2_ann_lsh", "s7_json_minimal",
+    "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf", "s7_json_minimal",
     "x1_lang_id", "x3_quality_score", "x4_fingerprint",
     "w1_turn_order", "m1_multimodal_decode",
     "str1_stream_counts", "str2_stream_dedup")

@@ -381,6 +381,25 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
     }),
 
+    // IVF ANN: codebook = the first 16 corpus vectors (deterministic
+    // stand-in for an offline-trained quantizer; bounded driver collect —
+    // codebooks are small by construction), corpus assigned to nearest
+    // cells map-side, queries probe their 3 nearest cells. The DuckDB
+    // oracle replicates the FULL IVF algorithm (assignment + probes +
+    // in-cell re-rank), so this checks exact algorithm parity, not just
+    // rows; IvfSpec separately asserts planted-pair recall vs brute force.
+    "s3_ann_ivf" -> ((s, d) => {
+      val base = embeddingsDouble(s, d)
+      val corpus = base.unionByName(perturbedCopies(base))
+      val centroids: Array[Array[Double]] = base.filter(col("vec_id") < 16)
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Double](0).toArray)
+      AnnFunctions.ivfTopK(base.filter(col("vec_id") < 10), corpus,
+          "vec_id", "vec_id", "embedding", k = 5, centroids, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
+
     // ---- text analysis
     "x1_lang_id" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
@@ -960,6 +979,43 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // full IVF replica: same codebook (vec_id < 16), same nearest-cell
+    // assignment (cosine desc, centroid index asc), same 3-cell probes,
+    // same in-cell top-5 re-rank
+    "s3_ann_ivf" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cp AS (SELECT vec_id + 100000 AS cvid,
+        |         list_transform(v, (x, i) ->
+        |           x + ((vec_id * 31 + (i - 1)) % 7 - 3) * CAST(0.002 AS DOUBLE)) AS v
+        |       FROM base),
+        |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT cvid AS vec_id, v FROM cp),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        |         FROM base WHERE vec_id < 16),
+        |ccell AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT c.vec_id, c.v, ct.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id < 10),
+        |qprobe AS (
+        |  SELECT query_id, v, cell FROM (
+        |    SELECT q.query_id, q.v, ct.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM q CROSS JOIN cent ct) WHERE rn <= 3),
+        |scored AS (
+        |  SELECT qp.query_id, cc.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qp.v, cc.v) AS cos
+        |  FROM qprobe qp JOIN ccell cc ON cc.cell = qp.cell
+        |  WHERE qp.query_id <> cc.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk AS rank
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
 
     // readExact over the region-derived CSV: 1 skipped comment line + 1
     // header line, then the 5 regions with logical/source row numbers

@@ -411,6 +411,97 @@ case class SignSketchExpr(child: Expression, planes: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** Helper bound into codegen for [[IvfCellsExpr]]: centroid norms are
+  * precomputed once, so per row each centroid costs one dot product plus a
+  * division — the composed-Column alternative would emit C separate
+  * cosine aggregates per row and stop scaling past small codebooks.
+  * Ordering matches the exact re-rank: cosine = dot/(‖v‖·‖c‖) descending,
+  * ties broken toward the lower centroid index.
+  */
+final class IvfCellsEvaluator(val centroids: Array[Array[Double]], val nprobe: Int)
+    extends Serializable {
+  require(centroids.nonEmpty, "IVF codebook is empty")
+  require(nprobe >= 1 && nprobe <= centroids.length,
+    s"nprobe out of [1,${centroids.length}]: $nprobe")
+  private val cNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  def eval(emb: ArrayData, isFloat: Boolean): GenericArrayData = {
+    val n = emb.numElements()
+    var i = 0
+    while (i < n) {
+      if (emb.isNullAt(i)) return new GenericArrayData(Array.empty[Int])
+      i += 1
+    }
+    val v = new Array[Double](n)
+    var vv = 0.0d
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      v(i) = x; vv += x * x
+      i += 1
+    }
+    val vNorm = math.sqrt(vv)
+    if (vNorm == 0.0d) return new GenericArrayData(Array.empty[Int])
+    val m = centroids.length
+    val cos = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val c = centroids(j)
+      val d = math.min(n, c.length)
+      var s = 0.0d
+      i = 0
+      while (i < d) { s += v(i) * c(i); i += 1 }
+      cos(j) = s / (vNorm * cNorms(j))
+      j += 1
+    }
+    // partial selection of the nprobe best (cos desc, index asc): nprobe is
+    // small (≤ ~32), so selection beats a full sort of the codebook
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](m)
+    var r = 0
+    while (r < nprobe) {
+      var best = -1
+      j = 0
+      while (j < m) {
+        if (!taken(j) && (best < 0 || cos(j) > cos(best))) best = j
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Top-`nprobe` nearest IVF cells (centroid indices) for an embedding, as
+  * one fused codegen call over a driver-provided codebook.
+  */
+case class IvfCellsExpr(child: Expression, evaluator: IvfCellsEvaluator)
+    extends UnaryExpression {
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"ivfCells expects array<float|double>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    evaluator.eval(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfEval", evaluator, classOf[IvfCellsEvaluator].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.eval($c, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCellsExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array as one fused codegen call. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -464,6 +555,10 @@ object CsvwFunctions {
 
   def signSketch(emb: Column, planes: Int, seed: Int): Column =
     GraftBridge.column(SignSketchExpr(GraftBridge.expression(emb), planes, seed))
+
+  def ivfCells(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    GraftBridge.column(IvfCellsExpr(GraftBridge.expression(emb),
+      new IvfCellsEvaluator(centroids, nprobe)))
 
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(shingles), numHashes))

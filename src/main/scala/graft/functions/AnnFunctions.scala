@@ -102,6 +102,48 @@ object AnnFunctions {
     * (join key = (table_idx, bucket)); see [[sketchRecall]] for the formula
     * that sizes it against a recall target.
     */
+  /** Top-`nprobe` nearest IVF cells (centroid indices, cosine-desc with
+    * index tie-break) for an embedding. Fused codegen
+    * ([[graft.expr.IvfCellsExpr]]): centroid norms precompute once, each row
+    * costs |codebook|×dim multiply-adds in one pass.
+    */
+  def ivfCells(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    graft.expr.CsvwFunctions.ivfCells(emb, centroids, nprobe)
+
+  /** IVF (inverted-file) ANN top-k: every corpus vector is assigned to its
+    * nearest-centroid cell in a map-only pass (the codebook ships as a
+    * plan-reference object — zero shuffle for assignment), queries probe
+    * their `nprobe` nearest cells, and candidates meet on a cell equi-join
+    * before the exact cosine re-rank.
+    *
+    * The codebook stands in for an offline-trained quantizer (k-means at
+    * 100 TB runs as its own batch job); any deterministic
+    * `Array[Array[Double]]` works — the driver query samples corpus vectors.
+    * Scale shape: the corpus side carries each embedding exactly once (one
+    * cell per vector), only the small query side fans out ×nprobe; the one
+    * shuffle is the cell join, whose volume is bucket occupancy, and AQE
+    * broadcast-picks the probe side when |Q| is small. Recall is explicit:
+    * a neighbor is found iff it lives in one of the query's `nprobe` cells —
+    * raise `nprobe` (or the codebook size) to trade candidates for recall.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, cId: String, embCol: String, k: Int,
+              centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cS = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"),
+      element_at(ivfCells(col(embCol), centroids, 1), 1).as("cell"))
+    val qS = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"),
+      explode(ivfCells(col(embCol), centroids, nprobe)).as("cell"))
+    qS.join(cS, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, cId: String, embCol: String, k: Int,
               planes: Int = 8, probeBits: Int = 2, tables: Int = 1): DataFrame = {

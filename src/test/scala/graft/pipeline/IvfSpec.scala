@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.functions.AnnFunctions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN (`AnnFunctions.ivfTopK`): fused cell-assignment parity against a
+  * driver-side reimplementation, planted-pair recall against brute force,
+  * and the plan-shape guarantee that candidates meet on a cell equi-join
+  * (never a cartesian).
+  */
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+  import spark.implicits._
+
+  private val Dim = 16
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+  private def vec(i: Int): Array[Double] =
+    normalize(Array.tabulate(Dim)(j => math.sin(i * 13.7 + j * 0.91) + 0.1))
+  /** near-copy: tiny deterministic perturbation, cosine ≥ 0.999 */
+  private def copyOf(i: Int): Array[Double] =
+    vec(i).zipWithIndex.map { case (x, j) => x + ((i * 31 + j) % 7 - 3) * 0.002 }
+
+  private val N = 60
+  private val C = 8 // codebook size
+  private lazy val centroids: Array[Array[Double]] = (0 until C).map(vec).toArray
+
+  private lazy val base = (0 until N).map(i => (i.toLong, vec(i).toSeq)).toDF("vec_id", "embedding")
+  private lazy val corpus = ((0 until N).map(i => (i.toLong, vec(i).toSeq)) ++
+    (0 until N).map(i => ((1000 + i).toLong, copyOf(i).toSeq))).toDF("vec_id", "embedding")
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum /
+      (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+
+  test("fused ivfCells matches a driver-side argmax over the same codebook") {
+    val got = base.select(col("vec_id"),
+        AnnFunctions.ivfCells(col("embedding"), centroids, 3).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    (0 until N).foreach { i =>
+      val expect = centroids.indices
+        .sortBy(c => (-cosine(vec(i), centroids(c)), c)).take(3)
+      assert(got(i.toLong) == expect, s"cells for vec $i")
+    }
+  }
+
+  test("planted copies surface through the probed cells: IVF top-1 == brute-force top-1") {
+    val queries = base.filter(col("vec_id") < 10)
+    val ivf = AnnFunctions.ivfTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 1, centroids, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val brute = AnnFunctions.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf == brute, s"ivf=$ivf\nbrute=$brute")
+    // and each query's top-1 is its planted copy
+    assert(brute == (0 until 10).map(i => (i.toLong, (1000 + i).toLong)).toMap)
+  }
+
+  test("candidate join is a cell equi-join — no cartesian in the plan") {
+    val plan = AnnFunctions.ivfTopK(base.filter(col("vec_id") < 10), corpus,
+        "vec_id", "vec_id", "embedding", k = 5, centroids, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
