@@ -59,19 +59,26 @@ object DedupFunctions {
     val withSig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), bands * rowsPerBand, shingleSize).as("sig"))
       .localCheckpoint()
-    val banded = withSig.select(col("id"), col("sig"),
+    // candidate generation carries IDS ONLY: the band explode would
+    // otherwise ship every (bands*rowsPerBand)-long signature `bands` times
+    // per join side; the estimate depends only on the signature PAIR (it is
+    // identical for every shared band — the old per-band estimate + max was
+    // pure dedup), so signatures re-attach once to the deduped pairs
+    val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
         .as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), x => x))
       .cast("double") / lit(bands * rowsPerBand)
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates()
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** 64-bit SimHash over tokens: per bit, sum ±1 weighted by the token-hash

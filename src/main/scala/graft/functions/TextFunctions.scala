@@ -69,11 +69,12 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-gram shingles. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles. Fused codegen ([[graft.expr.ShinglesExpr]]): the
+    * HOF formulation's lambda referenced the token array from outside the
+    * lambda scope, re-running the regex split once per shingle (O(tokens²)
+    * per row); the fused form splits once and windows in one pass.
+    * Bit-identical to the HOF form (spec-pinned in `DedupScaleSpec`).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.expr.CsvwFunctions.shingleArr(tokens(text), n)
 }

@@ -179,10 +179,29 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall { case (f, l) => f == l })
   }
 
-  test("fused MinHashSigExpr is bit-identical to the HOF formulation") {
+  // the round-2 HOF shingle formulation, kept verbatim as the semantic
+  // reference for the fused ShinglesExpr (and the legacy minhash below)
+  private def legacyShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = graft.functions.TextFunctions.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  test("fused ShinglesExpr is bit-identical to the HOF formulation (incl. short docs)") {
     import graft.functions.TextFunctions
+    val docs = corpus.select(col("text"))
+      .unionByName(Seq("", "one", "one two", "one two three").toDF("text"))
+    val rows = docs.select(
+      TextFunctions.shingles(col("text"), 3).as("fused"),
+      legacyShingles(col("text"), 3).as("legacy"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(rows.nonEmpty && rows.forall { case (f, l) => f == l })
+  }
+
+  test("fused MinHashSigExpr is bit-identical to the HOF formulation") {
     def legacyMinhash(text: org.apache.spark.sql.Column, k: Int) = {
-      val sh = array_distinct(TextFunctions.shingles(text, 3))
+      val sh = array_distinct(legacyShingles(text, 3))
       aggregate(sh,
         transform(sequence(lit(0), lit(k - 1)), _ => lit(Long.MaxValue)),
         (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
