@@ -5,7 +5,7 @@ import graft.model.ResolvedColumn
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -447,6 +447,81 @@ object ShingleRuntime extends Serializable {
   }
 }
 
+object CosineRuntime extends Serializable {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Cosine similarity in ONE pass with three scalar accumulators.
+    * Bit-identical to the HOF composition
+    * `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` with
+    * `dot = aggregate(zip_with(a, b, _*_), 0.0, _+_)`: each accumulator sums
+    * the same products in the same order, and the final
+    * `dot / (sqrt(aa) * sqrt(bb))` matches `norm(a) * norm(b)` exactly. The
+    * HOF form walks both arrays three times and allocates a product array
+    * per pass — measurable at millions of candidate pairs per partition.
+    * Null elements or length mismatch return null, as zip_with's null
+    * padding + null-propagating arithmetic did.
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0d; var aa = 0.0d; var bb = 0.0d
+    var i = 0
+    if (aFloat && bFloat) {
+      // float×float products stay FLOAT before the double accumulate,
+      // exactly as zip_with's float lambda + aggregate's widening did
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = a.getFloat(i)
+        val y = b.getFloat(i)
+        dot += x * y; aa += x * x; bb += y * y
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y; aa += x * x; bb += y * y
+        i += 1
+      }
+    }
+    dot / (math.sqrt(aa) * math.sqrt(bb))
+  }
+}
+
+/** One-pass cosine similarity between two embedding arrays. */
+case class CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine expects array<float|double>, got $other")
+  }
+  private lazy val aFloat = isFloat(left)
+  private lazy val bFloat = isFloat(right)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineRuntime.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = "graft.expr.CosineRuntime$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""Object r = $rt.cosine($a, $b, $aFloat, $bFloat);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Word n-gram shingle array as one fused codegen call. */
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1: $n")
@@ -618,6 +693,9 @@ object CsvwFunctions {
 
   def shingleArr(tokens: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(tokens), n))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Plan-time expansion of a template whose variables are all known
     * constants (used to bake constant predicates into [[LitTripleSpec]]s) —

@@ -17,8 +17,13 @@ object AnnFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity. Fused codegen ([[graft.expr.CosineExpr]]): one pass
+    * with three scalar accumulators — the HOF composition
+    * `dot/(norm*norm)` walked both arrays three times allocating a product
+    * array per pass. Bit-identical to the HOF form (spec-pinned).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.expr.CsvwFunctions.cosineSim(a, b)
 
   /** Random-hyperplane sign sketch: bit j = sign(Σ_i e[i]·h(i,j,seed)) with
     * h = ±1 from xxhash64. Deterministic; `planes` bits packed into a long.

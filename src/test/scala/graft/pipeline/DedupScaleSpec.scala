@@ -214,6 +214,28 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall { case (f, l) => f == l })
   }
 
+  test("fused CosineExpr is bit-identical to the HOF formulation (float+double)") {
+    def legacyDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    def legacyCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      legacyDot(a, b) / (sqrt(legacyDot(a, a)) * sqrt(legacyDot(b, b)))
+    val dbl = (0 until 40).map(i =>
+      (i.toLong,
+       (0 until 24).map(j => math.sin(i * 3.7 + j) * 2).toArray,
+       (0 until 24).map(j => math.cos(i * 1.9 + j * 0.7)).toArray))
+      .toDF("id", "a", "b")
+    val flt = dbl.select(col("id"),
+      transform(col("a"), x => x.cast("float")).as("a"),
+      transform(col("b"), x => x.cast("float")).as("b"))
+    for (df <- Seq(dbl, flt)) {
+      val rows = df.select(
+        AnnFunctions.cosine(col("a"), col("b")).as("fused"),
+        legacyCosine(col("a"), col("b")).as("legacy"))
+        .as[(Double, Double)].collect()
+      assert(rows.nonEmpty && rows.forall { case (f, l) => f == l })
+    }
+  }
+
   test("fused SignSketchExpr is bit-identical to the HOF formulation (both seeds, float+double)") {
     def legacySketch(emb: org.apache.spark.sql.Column, planes: Int, seed: Int) = {
       def h(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
