@@ -413,6 +413,13 @@ object SparkEntry {
     "x3_quality_score" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))),
 
+    // BPE-ish token budgeting next to the whitespace count — both counts a
+    // data-mixing pipeline needs per document
+    "x5_token_bpe" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).as("n_ws"),
+      TextFunctions.tokenCountBpe(col("text")).as("n_bpe"))),
+
     "x4_fingerprint" -> ((s, d) => t(s, d, "documents").select(
       col("doc_id"),
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))),
@@ -902,6 +909,12 @@ object SparkEntry {
     "x4_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "x5_token_bpe" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> length(t) > 0)) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin,
 
     // deterministic-formula oracle: the quality score ported term-by-term to

@@ -25,12 +25,17 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: word-initial chunks + digit runs + punctuation,
-    * approximated with a codegen'd regex count (matches the usual ~4 chars
-    * per token heuristic on prose).
+  /** BPE-ish subword pattern: ≤4-letter word chunks, digit runs, and single
+    * non-space punctuation — the usual ~4-chars-per-token prose heuristic.
+    * Lookaround-free alternation so the count is replicable in RE2-based
+    * engines (the DuckDB oracle); leftmost-first alternation semantics
+    * agree between java.util.regex and RE2 here.
     */
+  val BpeTokenPattern = "[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** BPE-ish subword count via a codegen'd regex scan. */
   def tokenCountBpe(text: Column): Column =
-    size(filter(split(text, "(?<=\\W)|(?=\\W)|(?<=\\p{L}{4})"), t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
   /** Stopword-overlap language score per language; returns the argmax
     * language code or 'und' below `minHits` hits.
