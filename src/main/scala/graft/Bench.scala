@@ -23,7 +23,8 @@ object Bench {
     "j3_entity_link", "j4_connected_components",
     "d1_dedup_exact", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
     "d5_embedding_dup",
-    "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf", "s7_json_minimal",
+    "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf", "s7_json_minimal", "x5_token_bpe",
+    "m2_frame_sample",
     "x1_lang_id", "x3_quality_score", "x4_fingerprint",
     "w1_turn_order", "m1_multimodal_decode",
     "str1_stream_counts", "str2_stream_dedup")
@@ -122,7 +123,16 @@ object Bench {
       }
 
     // part 2: scaling evidence (N vs 4N executors, same input)
-    var scalingJson = ""
+    // headline-only runs must not clobber the scaling evidence a previous
+    // full run wrote into BENCH/RESULT.json — carry the old block forward
+    var scalingJson = {
+      val prev = Paths.get("BENCH/RESULT.json")
+      if (Files.exists(prev)) {
+        val s = Files.readString(prev)
+        val i = s.indexOf(",\"scaling\":")
+        if (i >= 0) s.substring(i, s.lastIndexOf('}')) else ""
+      } else ""
+    }
     if (doScaling) {
       // sized so per-run compute dominates fixed overhead AND host noise:
       // small corpora measured the split planner + scheduling jitter, not
@@ -249,9 +259,22 @@ object Bench {
       spark = session(cpus) // restore for symmetry
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // scaling-only runs symmetrically carry the previous headline forward
+    val (qs, total) =
+      if (results.isEmpty) {
+        val prev = Paths.get("BENCH/RESULT.json")
+        val s = if (Files.exists(prev)) Files.readString(prev) else ""
+        val qi = s.indexOf("\"queries\":")
+        val qj = if (qi >= 0) s.indexOf('}', qi) else -1
+        val vi = s.indexOf("\"value\":")
+        val vj = if (vi >= 0) s.indexOf(',', vi) else -1
+        if (qj >= 0 && vj >= 0)
+          (s.substring(qi + 10, qj + 1), s.substring(vi + 8, vj).toDouble)
+        else ("{}", 0.0)
+      } else
+        (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+           .mkString("{", ",", "}"),
+         results.map(_._2).filter(_ >= 0).sum)
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}"""
     // file copy for the judge; stdout line (unprefixed via sbt

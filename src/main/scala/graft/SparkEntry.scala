@@ -429,6 +429,14 @@ object SparkEntry {
       Multimodal.decodePipeline(s, t(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("media_type"), col("width"), col("height"), col("n_frames"))),
 
+    // frame sampling over the DECODED video headers (n_frames from the real
+    // AVI byte parse) — the oracle recomputes the uniform-stride indices
+    // from the planted header formula
+    "m2_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.decode(Multimodal.withSyntheticPayload(t(s, d, "documents"), "doc_id")),
+        k = 8)),
+
     // ---- streaming ingest (file source → watermark window agg → memory sink)
     "str1_stream_counts" -> ((s, d) => {
       val tmp = streamFixture(s, d)
@@ -1143,6 +1151,12 @@ object SparkEntry {
         |    WHEN 1 THEN doc_id % 1000 + 1
         |    ELSE doc_id % 240 + 1 END AS INT) AS n_frames
         |FROM documents""".stripMargin,
+
+    "m2_frame_sample" ->
+      """SELECT doc_id, CAST(n AS INT) AS n_frames,
+        |  CAST(floor(j * n / 8) AS INT) AS frame_idx
+        |FROM (SELECT doc_id, doc_id % 240 + 1 AS n FROM documents WHERE doc_id % 3 = 2),
+        |  UNNEST(range(least(8, n))) AS u(j)""".stripMargin,
 
     "k1_salted_agg" ->
       s"""$trCte

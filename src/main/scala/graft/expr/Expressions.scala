@@ -510,10 +510,13 @@ case class CosineExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val rt = "graft.expr.CosineRuntime$.MODULE$"
+    // fresh local: a raw name would collide when two cosine calls land in
+    // the same codegen scope (silent whole-stage fallback, not an error)
+    val r = ctx.freshName("cosRes")
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""Object r = $rt.cosine($a, $b, $aFloat, $bFloat);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }""".stripMargin
+      s"""Object $r = $rt.cosine($a, $b, $aFloat, $bFloat);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }""".stripMargin
     })
   }
 

@@ -95,18 +95,6 @@ object AnnFunctions {
       .filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed ANN top-k: candidates restricted to sign-sketch buckets
-    * (multi-probe on the query side: exact bucket plus ≤ `probeBits` plane
-    * flips), then exact re-rank. At 100 TB this replaces the cross join with
-    * a bucket equi-join whose shuffle is proportional to bucket occupancy.
-    * The sketch is computed once per row and staged as a column — round 1
-    * re-evaluated the full 64-term sketch aggregate inside each probe's
-    * lambda.
-    *
-    * `tables` > 1 OR-amplifies recall with independent hyperplane sets
-    * (join key = (table_idx, bucket)); see [[sketchRecall]] for the formula
-    * that sizes it against a recall target.
-    */
   /** Top-`nprobe` nearest IVF cells (centroid indices, cosine-desc with
     * index tie-break) for an embedding. Fused codegen
     * ([[graft.expr.IvfCellsExpr]]): centroid norms precompute once, each row
@@ -149,6 +137,18 @@ object AnnFunctions {
       .filter(col("rank") <= k)
   }
 
+  /** LSH-bucketed ANN top-k: candidates restricted to sign-sketch buckets
+    * (multi-probe on the query side: exact bucket plus ≤ `probeBits` plane
+    * flips), then exact re-rank. At 100 TB this replaces the cross join with
+    * a bucket equi-join whose shuffle is proportional to bucket occupancy.
+    * The sketch is computed once per row and staged as a column — round 1
+    * re-evaluated the full 64-term sketch aggregate inside each probe's
+    * lambda.
+    *
+    * `tables` > 1 OR-amplifies recall with independent hyperplane sets
+    * (join key = (table_idx, bucket)); see [[sketchRecall]] for the formula
+    * that sizes it against a recall target.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, cId: String, embCol: String, k: Int,
               planes: Int = 8, probeBits: Int = 2, tables: Int = 1): DataFrame = {

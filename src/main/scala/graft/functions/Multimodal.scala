@@ -164,4 +164,21 @@ object Multimodal {
   /** Full plumbing: synthesize payloads → sniff + parse → typed metadata. */
   def decodePipeline(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
     decode(withSyntheticPayload(df, idCol)).toDF()
+
+  /** Deterministic even frame sampling over DECODED video metadata: up to
+    * `k` frame indices per clip, index j ↦ ⌊j·n_frames/k⌋ (the standard
+    * uniform-stride sampler). The frame count comes from the real byte-level
+    * header parse; extracting pixel data for the sampled indices is where a
+    * codec would drop in ([[decode]]'s partition loop) — index selection is
+    * the honestly-implementable portion and carries all the plan shape
+    * (filter → bounded explode, fan-out ≤ k, no shuffle).
+    */
+  def sampleFrames(decoded: Dataset[DecodedRow], k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1: $k")
+    decoded.toDF().filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), least(lit(k), col("n_frames")) - 1)).as("j"))
+      .select(col("doc_id"), col("n_frames"),
+        floor(col("j") * col("n_frames") / k).cast("int").as("frame_idx"))
+  }
 }

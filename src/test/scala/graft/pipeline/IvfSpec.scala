@@ -48,6 +48,20 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("fused ivfCells on float arrays matches the double-array cells") {
+    val fltBase = base.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("float")).as("embedding"))
+    val dbl = base.select(col("vec_id"),
+        AnnFunctions.ivfCells(col("embedding"), centroids, 3).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val flt = fltBase.select(col("vec_id"),
+        AnnFunctions.ivfCells(col("embedding"), centroids, 3).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // float rounding could flip a genuine near-tie, but on this corpus the
+    // centroid margins dwarf float epsilon — cells must agree exactly
+    assert(dbl == flt)
+  }
+
   test("planted copies surface through the probed cells: IVF top-1 == brute-force top-1") {
     val queries = base.filter(col("vec_id") < 10)
     val ivf = AnnFunctions.ivfTopK(queries, corpus, "vec_id", "vec_id",

@@ -269,6 +269,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2) == ((2L, "video", 30, 42, 3)))
   }
 
+  test("sampleFrames: uniform stride over decoded video headers, bounded fan-out") {
+    val df = (0 until 30).map(_.toLong).toDF("doc_id")
+    val out = Multimodal.sampleFrames(
+        Multimodal.decode(Multimodal.withSyntheticPayload(df, "doc_id")), k = 8)
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    // only video rows (doc_id % 3 == 2) sample
+    assert(out.keySet == (0 until 30).filter(_ % 3 == 2).map(_.toLong).toSet)
+    out.foreach { case (id, rows) =>
+      val n = (id % 240 + 1).toInt
+      val idx = rows.sortBy(_._3).map(_._3).toSeq
+      assert(rows.forall(_._2 == n))
+      assert(idx.size == math.min(8, n))       // fan-out bounded by k
+      assert(idx == (0 until math.min(8, n)).map(j => j * n / 8)) // ⌊j·n/k⌋
+      assert(idx.head == 0 && idx.last < n)
+    }
+  }
+
   test("decodeHeader sniffs by magic, not by labels; unknown bytes degrade") {
     assert(Multimodal.decodeHeader(Multimodal.pngBytes(640, 480)) == (("image", 640, 480, 1)))
     assert(Multimodal.decodeHeader(Multimodal.wavBytes(44100, 2, 1000)) == (("audio", 44100, 2, 1000)))
