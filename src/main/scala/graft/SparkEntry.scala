@@ -599,6 +599,128 @@ object SparkEntry {
       tbl.columns.map(c => (c.name, c.number, c.sourceNumber)).toDF("name", "number", "source_number")
     }),
 
+    // ---- metadata file source → full inheritance resolution (S3/S5): a
+    // JSON document read from disk, parsed and resolved plan-time —
+    // schema-level inherited datatype/lang, titles-derived (pct-encoded)
+    // names, virtual columns, skipColumns source numbering
+    "s5_metadata_resolve" -> ((s, d) => {
+      import s.implicits._
+      val meta = """{
+        "tables": [{
+          "url": "http://example.org/t1.csv",
+          "dialect": {"skipColumns": 1},
+          "tableSchema": {
+            "columns": [
+              {"name": "id", "datatype": "integer"},
+              {"titles": "Pretty Title"},
+              {"name": "amount"},
+              {"name": "link", "virtual": true,
+               "aboutUrl": "http://example.org/{id}",
+               "valueUrl": "http://example.org/v"}
+            ],
+            "lang": "en",
+            "datatype": "number"
+          }
+        }]
+      }"""
+      val f = java.nio.file.Files.createTempFile("graft_meta", ".json")
+      java.nio.file.Files.writeString(f, meta)
+      val group = CsvwJson.parseTableGroup(java.nio.file.Files.readString(f))
+      Resolve.group(group).flatMap(t => t.columns.map(c =>
+          (t.url, c.name, c.number, c.sourceNumber, c.datatypeIri, c.virtual, c.lang)))
+        .toDF("table_url", "col_name", "col_number", "source_number",
+          "datatype_iri", "virtual", "lang")
+    }),
+
+    // ---- declared↔embedded compatibility report (S5,
+    // metadata.rb:1004-1087): title mismatch degrades to a warning
+    // non-strict and an error strict
+    "s5_compat_report" -> ((s, d) => {
+      import s.implicits._
+      val declared = CsvwJson.parseTableGroup("""{
+        "url": "http://example.org/t.csv",
+        "tableSchema": {"columns": [
+          {"name": "alpha", "titles": "alpha"},
+          {"name": "beta", "titles": "beta"}]}
+      }""")
+      val embedded = List(
+        graft.model.ColumnMeta(titles = List(("und", "alpha"))),
+        graft.model.ColumnMeta(titles = List(("und", "GAMMA"))))
+      Seq(false, true).flatMap { strict =>
+        val r = graft.model.CsvwValidate.verifyCompatible(
+          declared, "http://example.org/t.csv", embedded, strict)
+        r.warnings.map(w => (strict, "warning", w)) ++
+          r.errors.map(e => (strict, "error", e))
+      }.toDF("strict", "severity", "message")
+    }),
+
+    // ---- comment aggregation (A3): prefix-stripped header-region comments
+    // with their order preserved
+    "a3_comment_rows" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "region").select(col("r_regionkey").cast("long"), col("r_name"))
+        .collect().sortBy(_.getLong(0)).map(r => s"${r.getLong(0)},${r.getString(1)}")
+      val csv = "# top comment\n# second comment\nkey,name\n" + rows.mkString("\n") + "\n"
+      val f = java.nio.file.Files.createTempFile("graft_a3", ".csv")
+      java.nio.file.Files.writeString(f, csv)
+      val ex = graft.sources.CsvDialectSource.readExact(s, f.toString,
+        graft.model.DialectMeta(commentPrefix = Some("#"), skipRows = 2))
+      ex.comments.zipWithIndex.map { case (c, i) => (i + 1, c) }.toDF("n", "comment")
+    }),
+
+    // ---- table-level suppressOutput (P3): the suppressed table binds and
+    // validates but emits no triples
+    "p3_suppress_table" -> ((s, d) => {
+      import s.implicits._
+      val group = CsvwJson.parseTableGroup("""{
+        "tables": [
+          {"url": "http://example.org/keep.csv",
+           "tableSchema": {"columns": [{"name": "name"}]}},
+          {"url": "http://example.org/hide.csv", "suppressOutput": true,
+           "tableSchema": {"columns": [{"name": "secret"}]}}
+        ]
+      }""")
+      val keep = Seq(("alice", 1), ("bob", 2)).toDF("name", "rn")
+      val hide = Seq(("s1", 1), ("s2", 2)).toDF("secret", "rn")
+      val bind = Map(
+        "http://example.org/keep.csv" -> mapper.CsvwPipeline.BoundTable(
+          keep, Map.empty, col("rn"), col("rn"), col("rn")),
+        "http://example.org/hide.csv" -> mapper.CsvwPipeline.BoundTable(
+          hide, Map.empty, col("rn"), col("rn"), col("rn")))
+      mapper.CsvwPipeline.run(s, group, bind,
+        mapper.CsvwPipeline.Options(minimal = true)).triples
+    }),
+
+    // ---- FK → table routing (J2): violations keyed by source→referenced
+    // table url, values from the evaluated referencing cells
+    "j2_fk_routing" -> ((s, d) => {
+      import s.implicits._
+      val group = CsvwJson.parseTableGroup("""{
+        "tables": [
+          {"url": "http://example.org/items.csv",
+           "tableSchema": {"columns": [{"name": "id"}], "primaryKey": "id"}},
+          {"url": "http://example.org/orders.csv",
+           "tableSchema": {
+             "columns": [{"name": "item_ref"}],
+             "foreignKeys": [{
+               "columnReference": "item_ref",
+               "reference": {"resource": "http://example.org/items.csv",
+                             "columnReference": "id"}}]}}
+        ]
+      }""")
+      val items = Seq(("i1", 1), ("i2", 2)).toDF("id", "rn")
+      val orders = Seq(("i1", 1), ("MISSING", 2), ("i2", 3)).toDF("item_ref", "rn")
+      val bind = Map(
+        "http://example.org/items.csv" -> mapper.CsvwPipeline.BoundTable(
+          items, Map.empty, col("rn"), col("rn"), col("rn")),
+        "http://example.org/orders.csv" -> mapper.CsvwPipeline.BoundTable(
+          orders, Map.empty, col("rn"), col("rn"), col("rn")))
+      val res = mapper.CsvwPipeline.run(s, group, bind)
+      res.fkViolations.toSeq.sortBy(_._1).flatMap { case (route, df) =>
+        df.collect().map(r => (route, r.getString(0)))
+      }.toDF("route", "bad_ref")
+    }),
+
     // ---- common properties → triples (T4; metadata.rb:923-981)
     "t4_common_properties" -> ((s, d) => {
       import s.implicits._
@@ -1077,6 +1199,41 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('a', 1, 3), ('b', 2, 4), ('c', 3, 5)
         |) AS t(name, number, source_number)""".stripMargin,
+
+    "s5_metadata_resolve" ->
+      """SELECT * FROM (VALUES
+        |  ('http://example.org/t1.csv', 'id', 1, 2,
+        |   'http://www.w3.org/2001/XMLSchema#integer', FALSE, 'en'),
+        |  ('http://example.org/t1.csv', 'Pretty%20Title', 2, 3,
+        |   'http://www.w3.org/2001/XMLSchema#double', FALSE, 'en'),
+        |  ('http://example.org/t1.csv', 'amount', 3, 4,
+        |   'http://www.w3.org/2001/XMLSchema#double', FALSE, 'en'),
+        |  ('http://example.org/t1.csv', 'link', 4, 5,
+        |   'http://www.w3.org/2001/XMLSchema#double', TRUE, 'en')
+        |) AS t(table_url, col_name, col_number, source_number, datatype_iri, virtual, lang)""".stripMargin,
+
+    "s5_compat_report" ->
+      """SELECT * FROM (VALUES
+        |  (FALSE, 'warning', 'Column 2 doesn''t match on titles: List(beta) vs List(GAMMA)'),
+        |  (TRUE, 'error', 'Column 2 doesn''t match on titles: List(beta) vs List(GAMMA)')
+        |) AS t(strict, severity, message)""".stripMargin,
+
+    "a3_comment_rows" ->
+      """SELECT * FROM (VALUES
+        |  (1, ' top comment'), (2, ' second comment')
+        |) AS t(n, comment)""".stripMargin,
+
+    "p3_suppress_table" ->
+      """SELECT * FROM (VALUES
+        |  ('_:d1', 'http://example.org/keep.csv#name', 'alice', FALSE,
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('_:d2', 'http://example.org/keep.csv#name', 'bob', FALSE, NULL, NULL)
+        |) AS t(subj, pred, obj, obj_iri, lang, dtype)""".stripMargin,
+
+    "j2_fk_routing" ->
+      """SELECT * FROM (VALUES
+        |  ('http://example.org/orders.csv->http://example.org/items.csv', 'MISSING')
+        |) AS t(route, bad_ref)""".stripMargin,
 
     "t4_common_properties" ->
       """SELECT * FROM (VALUES
