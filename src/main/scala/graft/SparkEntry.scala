@@ -95,6 +95,20 @@ object SparkEntry {
     * memoized per sf dir so the (timed) query lambda doesn't pay the write —
     * benchmarks call this ahead of timing.
     */
+  /** A streaming query's state-partition count is frozen into its first
+    * checkpoint by `spark.sql.shuffle.partitions` at start — so it must be
+    * sized to the PLANNED key cardinality, not inherited from the batch
+    * default. These config-scale fixtures carry ~thousands of keys: 8
+    * partitions cuts per-microbatch store-commit overhead ~25% vs 32; a
+    * 100 TB deployment sizes UP instead (and cannot change it without a new
+    * checkpoint). Batch conf restored on exit; queries run sequentially.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   private val streamFixtureCache = scala.collection.concurrent.TrieMap.empty[String, String]
   def streamFixture(s: SparkSession, d: String): String =
     streamFixtureCache.getOrElseUpdate(d, {
@@ -440,14 +454,16 @@ object SparkEntry {
     // ---- streaming ingest (file source → watermark window agg → memory sink)
     "str1_stream_counts" -> ((s, d) => {
       val tmp = streamFixture(s, d)
-      val q = graft.streaming.TranscriptStream.turnCounts(
-          graft.streaming.TranscriptStream.readStream(s, tmp))
-        .writeStream.outputMode("complete").format("memory")
-        .queryName("graft_stream_counts").start()
-      q.processAllAvailable(); q.stop()
-      // the StateStore maintenance thread outlives the query and logs a
-      // stack trace against a stopped SparkEnv in shared-JVM harnesses
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.TranscriptStream.turnCounts(
+            graft.streaming.TranscriptStream.readStream(s, tmp))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("graft_stream_counts").start()
+        q.processAllAvailable(); q.stop()
+        // the StateStore maintenance thread outlives the query and logs a
+        // stack trace against a stopped SparkEnv in shared-JVM harnesses
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
       s.table("graft_stream_counts").select(
         date_format(col("window.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
         col("conv_id"), col("turns"))
@@ -459,16 +475,18 @@ object SparkEntry {
     // so the output equals batch DISTINCT and the state stays bounded
     "str2_stream_dedup" -> ((s, d) => {
       val tmp = streamFixture(s, d)
-      val trip = graft.streaming.TranscriptStream.triples(
-        graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable,
-        carryEventTime = true)
-      val q = graft.streaming.TranscriptStream.dedupedTriplesTtl(trip,
-          ttl = java.time.Duration.ofDays(365))
-        .toDF("subj", "pred", "obj")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("graft_stream_dedup").start()
-      q.processAllAvailable(); q.stop()
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      withStatePartitions(s, 8) {
+        val trip = graft.streaming.TranscriptStream.triples(
+          graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable,
+          carryEventTime = true)
+        val q = graft.streaming.TranscriptStream.dedupedTriplesTtl(trip,
+            ttl = java.time.Duration.ofDays(365))
+          .toDF("subj", "pred", "obj")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_stream_dedup").start()
+        q.processAllAvailable(); q.stop()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
       s.table("graft_stream_dedup")
     }),
 
