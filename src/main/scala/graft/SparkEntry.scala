@@ -308,7 +308,10 @@ object SparkEntry {
       val m = EntityLink.mentions(docs, dict, "doc_id", "text")
         .select(col("doc_id").cast("string").as("doc_id"), col("entity_id"))
       val edges = EntityLink.candidateEdges(m, "doc_id")
-      ConnectedComponents.run(s, edges)
+      // iterative tiny-graph rounds: size the per-round shuffle to the
+      // component count, not the batch default (same sizing note as the
+      // streaming state partitions)
+      withStatePartitions(s, 8) { ConnectedComponents.run(s, edges).localCheckpoint() }
     }),
 
     // full-row distinct plans as a group-only hash aggregate: map-side

@@ -88,21 +88,24 @@ object ConnectedComponents {
     while (iter < maxIterations && !converged) {
       // neighbor minimum: one shuffle on dst
       val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
+        .select(col("dst").as("id"), col("component"), lit(false).as("self"))
       // pointer jump: label-of-label (component ids are node ids, so every
       // component value has a labels row)
       val jump = labels.toDF("id", "comp")
         .join(labels.toDF("cid", "comp2"), col("comp") === col("cid"))
-        .select(col("id"), col("comp2").as("component"))
-      val next = labels.select(col("id"), col("component"))
+        .select(col("id"), col("comp2").as("component"), lit(false).as("self"))
+      // each id contributes exactly one self-tagged row, so the aggregate
+      // carries the PREVIOUS label alongside the new minimum — the
+      // convergence probe then filters the checkpointed result instead of
+      // paying a join + shuffle of its own every round
+      val next = labels.select(col("id"), col("component"), lit(true).as("self"))
         .union(msgs)
         .union(jump)
-        .groupBy("id").agg(min("component").as("component"))
+        .groupBy("id").agg(min("component").as("component"),
+          max(when(col("self"), col("component"))).as("old"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("old")).limit(1).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
