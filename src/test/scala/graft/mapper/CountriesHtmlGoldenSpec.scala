@@ -48,10 +48,14 @@ class CountriesHtmlGoldenSpec extends AnyFunSuite {
         .map { case (c, i) => c.name -> col(s"_c${i + 1}") }.toMap,
       skolem = col("_row"), rownum = col("_row"), sourceNum = col("_sourceRow"))
 
-  test("countries_embed.html (in-document tables + fragment urls) matches the minimal ttl") {
-    // transcription of spec/data/countries_embed.html: two fragment-id
-    // tables plus the csvm+json script block with fragment-relative urls
-    val html =
+  // transcription of spec/data/countries_embed.html: two fragment-id
+  // tables plus the csvm+json script block with fragment-relative urls
+  private lazy val embedHtmlPath: String = {
+    val f = java.nio.file.Files.createTempFile("countries_embed", ".html")
+    java.nio.file.Files.writeString(f, embedHtml)
+    f.toString
+  }
+  private val embedHtml =
       """<html><body>
         |<table id="countries"><caption>Countries</caption>
         |<tr><th>countryCode</th><th>latitude</th><th>longitude</th><th>name</th></tr>
@@ -103,11 +107,10 @@ class CountriesHtmlGoldenSpec extends AnyFunSuite {
         |</script>
         |</pre>
         |</body></html>""".stripMargin
-    val f = java.nio.file.Files.createTempFile("countries_embed", ".html")
-    java.nio.file.Files.writeString(f, html)
 
+  test("countries_embed.html (in-document tables + fragment urls) matches the minimal ttl") {
     val docUrl = "http://example.org/countries_embed.html"
-    val doc = HtmlTableSource.readDocument(spark, f.toString, docUrl)
+    val doc = HtmlTableSource.readDocument(spark, embedHtmlPath, docUrl)
     assert(doc.group.tables.map(_.url) ==
       List(s"$docUrl#countries", s"$docUrl#country_slice"))
     assert(doc.fragmentTables.keySet ==
@@ -141,6 +144,51 @@ class CountriesHtmlGoldenSpec extends AnyFunSuite {
         lit3(s"_:d$r", ex + "population", pop, xi))
       }.toSet
     assert(got == expected, s"extra=${got -- expected}\nmissing=${expected -- got}")
+  }
+
+  test("countries_embed.html JSON minimal mode matches countries_embed-minimal.json") {
+    val docUrl = "http://example.org/countries_embed.html"
+    val doc = HtmlTableSource.readDocument(spark, embedHtmlPath, docUrl)
+    val resolved = Resolve.group(doc.group)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val got = resolved.flatMap { t =>
+      val exact = doc.fragmentTables(t.url)
+      JsonOutput.minimalRows(exact.rows, t,
+          t.columns.filterNot(_.virtual).zipWithIndex
+            .map { case (c, i) => c.name -> col(s"_c${i + 1}") }.toMap,
+          skolem = col("_row"), rownum = col("_row"), sourceNum = col("_sourceRow"))
+        .select(col("json")).as[String].collect().toSeq
+    }.map(mapper.readTree).sortBy(_.toString)
+
+    // transcribed from spec/data/countries_embed-minimal.json: @id only for
+    // aboutUrl subjects, schema.org keys compacted via the CSVW context,
+    // geonames/example.org keys left absolute, number/integer unboxed,
+    // gYear kept lexical, valueUrl references as IRI strings
+    val expected = {
+      val arr = mapper.readTree("""[
+        {"@id": "http://example.org/countries_embed.html#countries_AD",
+         "http://www.geonames.org/ontology#countryCode": "AD",
+         "schema:latitude": 42.5, "schema:longitude": 1.6,
+         "schema:name": "Andorra"},
+        {"@id": "http://example.org/countries_embed.html#countries_AE",
+         "http://www.geonames.org/ontology#countryCode": "AE",
+         "schema:latitude": 23.4, "schema:longitude": 53.8,
+         "schema:name": "United Arab Emirates"},
+        {"@id": "http://example.org/countries_embed.html#countries_AF",
+         "http://www.geonames.org/ontology#countryCode": "AF",
+         "schema:latitude": 33.9, "schema:longitude": 67.7,
+         "schema:name": "Afghanistan"},
+        {"http://example.org/countryRef": "http://example.org/countries_embed.html#countries_AF",
+         "http://example.org/year": "1960", "http://example.org/population": 9616353},
+        {"http://example.org/countryRef": "http://example.org/countries_embed.html#countries_AF",
+         "http://example.org/year": "1961", "http://example.org/population": 9799379},
+        {"http://example.org/countryRef": "http://example.org/countries_embed.html#countries_AF",
+         "http://example.org/year": "1962", "http://example.org/population": 9989846}
+      ]""")
+      (0 until arr.size).map(arr.get).sortBy(_.toString)
+    }
+    assert(got == expected,
+      s"got:\n${got.mkString("\n")}\nexpected:\n${expected.mkString("\n")}")
   }
 
   test("countries.html (metadata-only document, external CSVs) matches the minimal ttl") {
