@@ -27,7 +27,7 @@ object Bench {
     "m2_frame_sample",
     "x1_lang_id", "x3_quality_score", "x4_fingerprint",
     "w1_turn_order", "m1_multimodal_decode",
-    "str1_stream_counts", "str2_stream_dedup")
+    "str1_stream_counts", "str2_stream_dedup", "str3_stream_dedup_native")
 
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()

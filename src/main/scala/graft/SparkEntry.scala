@@ -493,6 +493,24 @@ object SparkEntry {
       s.table("graft_stream_dedup")
     }),
 
+    // native dropDuplicatesWithinWatermark variant: the fixture is one
+    // microbatch (watermark only advances between batches), so the output
+    // is deterministically the batch DISTINCT — same oracle as str2
+    "str3_stream_dedup_native" -> ((s, d) => {
+      val tmp = streamFixture(s, d)
+      withStatePartitions(s, 8) {
+        val trip = graft.streaming.TranscriptStream.triples(
+          graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable,
+          carryEventTime = true)
+        val q = graft.streaming.TranscriptStream.dedupedTriplesNative(trip)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_stream_dedup_native").start()
+        q.processAllAvailable(); q.stop()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
+      s.table("graft_stream_dedup_native")
+    }),
+
     // ---- JSON output mode (S7/T6): the emitted JSON document strings are
     // parsed back field-by-field, so the oracle checks every typed value,
     // the @id expansion, and null-cell omission without depending on
@@ -1347,5 +1365,8 @@ object SparkEntry {
          |FROM transcripts GROUP BY 1, 2""".stripMargin,
 
     "str2_stream_dedup" ->
+      s"$trCte SELECT DISTINCT subj, pred, obj FROM (\n$minimalTriplesSelect\n)",
+
+    "str3_stream_dedup_native" ->
       s"$trCte SELECT DISTINCT subj, pred, obj FROM (\n$minimalTriplesSelect\n)")
 }

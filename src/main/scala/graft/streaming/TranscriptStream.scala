@@ -78,6 +78,26 @@ object TranscriptStream {
       }
   }
 
+  /** Native bounded-state streaming dedup via Spark's
+    * `dropDuplicatesWithinWatermark` — the built-in counterpart of
+    * [[dedupedTriplesTtl]], preferred when the horizon you need IS the
+    * watermark delay: state for a triple is dropped once the watermark
+    * passes its event time + delay, entirely inside the native streaming
+    * aggregation (no typed serde, no user state function). Use
+    * [[dedupedTriplesTtl]] when the dedup horizon must exceed the lateness
+    * bound (TTL and watermark decoupled) or when re-sightings must extend
+    * the horizon; use this one otherwise — it is the more
+    * whole-stage-friendly plan. Same re-emission contract past the horizon:
+    * downstream sinks merge idempotently.
+    */
+  def dedupedTriplesNative(triples: DataFrame,
+                           eventTimeCol: String = "ts",
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    triples
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("subj", "pred", "obj")
+      .select(col("subj"), col("pred"), col("obj"))
+
   /** Bounded-state streaming dedup: like [[dedupedTriples]] but each
     * triple's state carries an event-time TTL (`EventTimeTimeout`), so the
     * state store holds only triples seen within `ttl` of the watermark —
