@@ -72,9 +72,12 @@ object SparkEntry {
         Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), coalesce(col("found"), lit(false)).as("found"))
 
+  // native array cast, NOT transform(x => x.cast(...)): the HOF lambda has
+  // no codegen and collapses into the same Project as the downstream sketch
+  // expressions, silently interpreting the whole projection
   private def embeddingsDouble(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      col("embedding").cast("array<double>").as("embedding"))
 
   /** Near-copy with a deterministic per-dimension perturbation
     * (±0.006 max on unit vectors → cosine ≥ 0.999); the arithmetic is
@@ -379,7 +382,7 @@ object SparkEntry {
     // ---- similarity search (brute-force + LSH)
     "s1_ann_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       AnnFunctions.bruteForceTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))

@@ -447,6 +447,52 @@ object ShingleRuntime extends Serializable {
   }
 }
 
+object TokenRuntime extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // the tokens() splitter — compiled once per JVM, not per row
+  private val Splitter = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}']+")
+
+  /** Non-empty split segments, identical to
+    * `filter(split(child, "[^\\p{L}\\p{N}']+", -1), t => length(t) > 0)`
+    * (Spark's StringSplit delegates to the same java.util.regex split).
+    * The HOF `filter` has no codegen, so its presence pushed every
+    * downstream text expression out of WholeStageCodegen — fusing it also
+    * lets codegen CSE share one tokenization across the several uses a
+    * formula like qualityScore makes.
+    */
+  def tokens(text: UTF8String): GenericArrayData = {
+    val parts = Splitter.split(text.toString, -1)
+    var cnt = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) cnt += 1; i += 1 }
+    val out = new Array[Any](cnt)
+    var j = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { out(j) = UTF8String.fromString(parts(i)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Non-empty word tokens of a string as one fused codegen call. */
+case class TokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TokenRuntime.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.TokenRuntime$$.MODULE$$.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokensExpr =
+    copy(child = newChild)
+}
+
 object CosineRuntime extends Serializable {
   import org.apache.spark.sql.catalyst.util.ArrayData
 
@@ -699,6 +745,9 @@ object CsvwFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def tokensArr(text: Column): Column =
+    GraftBridge.column(TokensExpr(GraftBridge.expression(text)))
 
   /** Plan-time expansion of a template whose variables are all known
     * constants (used to bake constant predicates into [[LitTripleSpec]]s) —

@@ -19,8 +19,16 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "je", "pas", "un", "une", "avec", "pour", "que", "des", "dans", "il"),
     "es" -> Seq("el", "la", "los", "las", "y", "es", "yo", "no", "un", "una", "con", "para", "que", "de", "en"))
 
+  /** Lowercased non-empty word tokens. Fused codegen
+    * ([[graft.expr.TokensExpr]]): the `filter` HOF in the previous
+    * formulation had no codegen path, which pushed EVERY downstream text
+    * expression out of WholeStageCodegen; the fused form keeps the whole
+    * text pipeline in one codegen stage and lets CSE share a single
+    * tokenization across multiple uses per row. Bit-identical to the HOF
+    * form (spec-pinned).
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}']+"), t => length(t) > 0)
+    graft.expr.CsvwFunctions.tokensArr(lower(text))
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))

@@ -188,6 +188,20 @@ class DedupScaleSpec extends AnyFunSuite {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  test("fused TokensExpr is bit-identical to the HOF formulation (incl. edge cases)") {
+    import graft.functions.TextFunctions
+    def legacyTokens(text: org.apache.spark.sql.Column) =
+      filter(split(lower(text), "[^\\p{L}\\p{N}']+"), t => length(t) > 0)
+    val docs = corpus.select(col("text")).unionByName(Seq(
+      "", "   ", "one", "don't stop-here", "...!!", "Ünïcode Wörds 123",
+      "'leading trailing'").toDF("text"))
+    val rows = docs.select(
+      TextFunctions.tokens(col("text")).as("fused"),
+      legacyTokens(col("text")).as("legacy"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(rows.nonEmpty && rows.forall { case (f, l) => f == l })
+  }
+
   test("fused ShinglesExpr is bit-identical to the HOF formulation (incl. short docs)") {
     import graft.functions.TextFunctions
     val docs = corpus.select(col("text"))

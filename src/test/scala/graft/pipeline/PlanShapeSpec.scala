@@ -17,6 +17,32 @@ class PlanShapeSpec extends AnyFunSuite {
     "CAST(id % 7 AS STRING) AS obj", "true AS obj_iri",
     "CAST(NULL AS STRING) AS lang", "CAST(NULL AS STRING) AS dtype")
 
+  test("fused text/embedding expressions stay inside WholeStageCodegen") {
+    import graft.functions.{AnnFunctions, TextFunctions}
+    // parquet-backed source: LocalTableScan collapses projections and would
+    // hide a codegen fallback
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // native array cast — a transform(cast) lambda would itself break the
+    // codegen property this test guards
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // a codegen'd Project prints with the `*(n)` stage marker; a fallback
+    // (e.g. a no-codegen HOF in the tree — the round-3 tokens() bug) loses
+    // it, silently interpreting the whole projection
+    def codegenProject(plan: String, expr: String): Boolean =
+      plan.linesIterator.exists(l =>
+        l.contains("Project") && l.contains(expr) && l.trim.startsWith("*("))
+    val pTok = docs.select(TextFunctions.shingles(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    assert(codegenProject(pTok, "shinglesexpr(tokensexpr"), pTok)
+    val pSig = docs.select(graft.functions.DedupFunctions.simhash(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(codegenProject(pSig, "simhash64expr(tokensexpr"), pSig)
+    val pIvf = emb.select(AnnFunctions.ivfCells(col("emb"), Array(Array(1.0, 0.0)), 1))
+      .queryExecution.executedPlan.toString
+    assert(codegenProject(pIvf, "ivfcellsexpr"), pIvf)
+  }
+
   test("sink dedup: partial+final hash aggregate, no sort aggregate, one exchange") {
     val plan = tripleDf.dropDuplicates().queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan)
