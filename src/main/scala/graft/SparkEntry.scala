@@ -444,7 +444,7 @@ object SparkEntry {
       col("doc_id"),
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))),
 
-    // ---- multimodal plumbing (stubbed decode)
+    // ---- multimodal plumbing (real PNG/WAV/AVI header codec)
     "m1_multimodal_decode" -> ((s, d) =>
       Multimodal.decodePipeline(s, t(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("media_type"), col("width"), col("height"), col("n_frames"))),
