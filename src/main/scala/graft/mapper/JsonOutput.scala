@@ -54,7 +54,11 @@ object JsonOutput {
     assembled(df, table, inputs, skolem, rownum, sourceNum)
       .select(col("json"), col("rn").as("__rn"), col("src").as("__src"))
 
-  private final case class AssembledRow(
+  // NOT private: a private nested case class makes Janino fail to resolve
+  // the serializer's accessor calls ("No applicable constructor/method found
+  // ... AssembledRow.json()"), silently dropping the whole output projection
+  // to interpreter mode — the sink stage's hot path.
+  final case class AssembledRow(
       json: String, describes: Seq[String], rn: Long, src: Long)
 
   private def assembled(df: DataFrame, table: ResolvedTable,
