@@ -25,7 +25,8 @@ object CsvwJson {
         dialect = Option(n.get("dialect")).map(dialectFrom),
         id = optText(n, "@id"),
         inherited = inheritedFrom(n),
-        common = commonFrom(n))
+        common = commonFrom(n),
+        transformations = transformationsFrom(n))
     } else if (n.has("url") || tpe.contains("Table")) {
       TableGroupMeta(tables = List(tableFrom(n)))
     } else if (n.has("columns") || tpe.contains("Schema")) {
@@ -41,7 +42,24 @@ object CsvwJson {
     notes = Option(n.get("notes")).map(strings).getOrElse(Nil),
     id = optText(n, "@id"),
     inherited = inheritedFrom(n),
-    common = commonFrom(n))
+    common = commonFrom(n),
+    transformations = transformationsFrom(n))
+
+  /** `transformations` array → Template metadata objects
+    * (`metadata.rb:1663-1672` PROPERTIES). Parsed, validated, surfaced —
+    * never executed (parity with the reference, which yields them as
+    * metadata without running scripts).
+    */
+  def transformationsFrom(n: JsonNode): List[TransformationMeta] =
+    Option(n.get("transformations")).filter(_.isArray).toList
+      .flatMap(_.elements().asScala)
+      .map(t => TransformationMeta(
+        url = optText(t, "url").getOrElse(""),
+        targetFormat = optText(t, "targetFormat"),
+        scriptFormat = optText(t, "scriptFormat"),
+        source = optText(t, "source"),
+        titles = Option(t.get("titles")).map(titleStrings).getOrElse(Nil),
+        id = optText(t, "@id")))
 
   /** Common properties: any key containing ':' plus `notes`
     * (`metadata.rb:923-981` / `reader.rb:186-192`). */

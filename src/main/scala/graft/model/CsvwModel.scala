@@ -99,6 +99,22 @@ final case class DialectMeta(
   def effectiveTrim: String = trim.getOrElse(if (skipInitialSpace) "start" else "true")
 }
 
+/** A `transformations` entry (`metadata.rb:1663-1693` class Transformation,
+  * JSON-LD `@type: Template`). The reference parses and validates these but
+  * never executes the scripts (script execution is out of scope for both
+  * engines); they are surfaced so callers can dispatch to their own
+  * templating toolchain. `url`/`targetFormat`/`scriptFormat` are REQUIRED
+  * (`metadata.rb:1674`); `source` must be "json" or "rdf" when present
+  * (`metadata.rb:1691-1692`).
+  */
+final case class TransformationMeta(
+    url: String,
+    targetFormat: Option[String] = None,
+    scriptFormat: Option[String] = None,
+    source: Option[String] = None,
+    titles: List[(String, String)] = Nil,
+    id: Option[String] = None)
+
 final case class TableMeta(
     url: String,
     tableSchema: Option[SchemaMeta] = None,
@@ -108,14 +124,16 @@ final case class TableMeta(
     id: Option[String] = None,
     inherited: Inherited = Inherited(),
     /** common properties: (prefixed key or "notes") -> raw JSON (T4) */
-    common: List[(String, String)] = Nil)
+    common: List[(String, String)] = Nil,
+    transformations: List[TransformationMeta] = Nil)
 
 final case class TableGroupMeta(
     tables: List[TableMeta],
     dialect: Option[DialectMeta] = None,
     id: Option[String] = None,
     inherited: Inherited = Inherited(),
-    common: List[(String, String)] = Nil) {
+    common: List[(String, String)] = Nil,
+    transformations: List[TransformationMeta] = Nil) {
 
   /** Resolve relative table `url`s and foreign-key `resource`s against the
     * metadata document's base, as the reference normalizes on load

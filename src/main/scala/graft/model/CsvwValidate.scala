@@ -43,6 +43,8 @@ object CsvwValidate {
     "header", "headerRowCount", "lineTerminators", "quoteChar",
     "skipBlankRows", "skipColumns", "skipInitialSpace", "skipRows", "trim")
   private val FkReferenceKeys = Set("resource", "schemaReference", "columnReference")
+  private val TransformationKeys = Set(
+    "@id", "@type", "source", "targetFormat", "scriptFormat", "titles", "url")
 
   /** Validate a metadata document (JSON string). */
   def validate(json: String): Report = validateNode(mapper.readTree(json))
@@ -55,7 +57,8 @@ object CsvwValidate {
         unexpectedKeys("TableGroup", root, TableGroupKeys) ++
         (if (tables.isEmpty) Report(Nil, List("TableGroup has invalid property 'tables': must not be empty"))
          else Report.empty)
-      tables.foldLeft(base)((r, t) => r ++ validateTable(t, tables))
+      val withTx = base ++ validateTransformations(root)
+      tables.foldLeft(withTx)((r, t) => r ++ validateTable(t, tables))
     } else if (root.has("url") || optType(root).contains("Table")) {
       validateTable(root, List(root))
     } else if (root.has("columns") || optType(root).contains("Schema")) {
@@ -71,6 +74,39 @@ object CsvwValidate {
       if (d.isObject) r = r ++ unexpectedKeys("Dialect", d, DialectKeys)
     }
     Option(t.get("tableSchema")).foreach { s => r = r ++ validateSchema(s, allTables) }
+    r ++ validateTransformations(t)
+  }
+
+  /** Transformation (Template) objects (`metadata.rb:1663-1693`):
+    * url/targetFormat/scriptFormat are REQUIRED; scriptFormat/targetFormat
+    * must be valid absolute URLs; source, when present, must be json or rdf.
+    */
+  private def validateTransformations(parent: JsonNode): Report = {
+    var r = Report.empty
+    Option(parent.get("transformations")).foreach { txs =>
+      if (!txs.isArray)
+        r = r ++ Report(Nil, List("transformations must be an array"))
+      else txs.elements().asScala.foreach { t =>
+        r = r ++ unexpectedKeys("Transformation", t, TransformationKeys)
+        val missing = Seq("url", "targetFormat", "scriptFormat")
+          .filterNot(k => Option(t.get(k)).exists(_.isTextual))
+        if (missing.nonEmpty)
+          r = r ++ Report(Nil, List(s"Transformation missing required keys: ${missing.mkString(", ")}"))
+        Seq("targetFormat", "scriptFormat").foreach { k =>
+          Option(t.get(k)).filter(_.isTextual).map(_.asText()).foreach { v =>
+            val absOk =
+              try new java.net.URI(v).isAbsolute
+              catch { case _: Exception => false }
+            if (!absOk)
+              r = r ++ Report(Nil, List(s"Transformation has invalid property '$k': must be a valid absolute URL: $v"))
+          }
+        }
+        Option(t.get("source")).filter(_.isTextual).map(_.asText()).foreach { s =>
+          if (s != "json" && s != "rdf")
+            r = r ++ Report(Nil, List(s"Transformation has invalid property 'source': expected json or rdf, got $s"))
+        }
+      }
+    }
     r
   }
 

@@ -242,4 +242,43 @@ class CsvwValidateSpec extends AnyFunSuite {
     assert(t.columns(0).name == "plain")
     assert(t.columns(1).name == "Deutsch")
   }
+
+  // ---- transformations (metadata.rb:1663-1693; metadata_spec.rb:653-657)
+
+  test("transformations parse into the model at group and table level") {
+    val meta = """{"@type": "TableGroup",
+      "transformations": [{"url": "tmpl.mustache",
+        "targetFormat": "http://example.org/html",
+        "scriptFormat": "http://example.org/mustache",
+        "source": "json", "titles": "simple example"}],
+      "tables": [{"url": "http://e/t",
+        "transformations": [{"url": "t2.xslt",
+          "targetFormat": "http://f", "scriptFormat": "http://g"}]}]}"""
+    val tg = CsvwJson.parseTableGroup(meta)
+    assert(tg.transformations.map(_.url) == List("tmpl.mustache"))
+    assert(tg.transformations.head.source.contains("json"))
+    assert(tg.transformations.head.titles == List("und" -> "simple example"))
+    assert(tg.tables.head.transformations.map(_.url) == List("t2.xslt"))
+  }
+
+  test("transformation validation: valid passes; missing required keys error") {
+    val ok = CsvwValidate.validate("""{"url": "http://e/t",
+      "transformations": [{"url": "http://example",
+        "targetFormat": "http://example", "scriptFormat": "http://example/"}]}""")
+    assert(ok.ok, ok)
+    val missing = CsvwValidate.validate("""{"url": "http://e/t",
+      "transformations": [{"url": "http://example"}]}""")
+    assert(missing.errors.exists(_.contains("missing required keys: targetFormat, scriptFormat")), missing)
+  }
+
+  test("transformation validation: bad source / relative formats / extra keys") {
+    val bad = CsvwValidate.validate("""{"url": "http://e/t",
+      "transformations": [{"url": "http://example",
+        "targetFormat": "not a url at all %%",
+        "scriptFormat": "http://example/",
+        "source": "xml", "bogus": 1}]}""")
+    assert(bad.errors.exists(_.contains("'source': expected json or rdf")), bad)
+    assert(bad.errors.exists(_.contains("'targetFormat'")), bad)
+    assert(bad.warnings.exists(_.contains("bogus")), bad)
+  }
 }
