@@ -1317,9 +1317,15 @@ object SparkEntry {
 
     // header tr is source row 1; data rows follow (countries_html fixture
     // numbering)
+    // HTML rows number from (total tr count) + 1 — the regions table has a
+    // header tr plus one tr per region, so the first data row is
+    // (1 + count(*)) + 1; logical and source numbers coincide on the HTML
+    // leg (metadata.rb:876-885; countries_embed-standard.ttl rownum 5..7)
     "s2_html_table" ->
-      """SELECT CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS _row,
-        |  CAST(row_number() OVER (ORDER BY r_regionkey) + 1 AS BIGINT) AS _sourceRow,
+      """SELECT CAST(row_number() OVER (ORDER BY r_regionkey)
+        |       + (SELECT count(*) FROM region) + 1 AS BIGINT) AS _row,
+        |  CAST(row_number() OVER (ORDER BY r_regionkey)
+        |       + (SELECT count(*) FROM region) + 1 AS BIGINT) AS _sourceRow,
         |  CAST(r_regionkey AS VARCHAR) AS _c1, r_name AS _c2
         |FROM region""".stripMargin,
 

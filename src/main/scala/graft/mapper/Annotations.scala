@@ -18,7 +18,7 @@ object Annotations {
     * or "notes" (→ csvw:note).
     */
   def commonProperty(subject: String, key: String, valueJson: String,
-                     bnodeSeed: String): Seq[Triple] = {
+                     bnodeSeed: String, defaultLang: Option[String] = None): Seq[Triple] = {
     val pred =
       if (key == "notes") Vocab.Csvw + "note"
       else Iri.expand("", key)
@@ -26,16 +26,21 @@ object Annotations {
     // repeated runs emit different labels, breaking determinism
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     expandValue(subj = subject, pred = pred, n = mapper.readTree(valueJson),
-      bnodeBase = s"_:cp$bnodeSeed", counter = counter)
+      bnodeBase = s"_:cp$bnodeSeed", counter = counter, defaultLang = defaultLang)
   }
 
   private def expandValue(subj: String, pred: String, n: JsonNode,
                           bnodeBase: String,
-                          counter: java.util.concurrent.atomic.AtomicInteger): Seq[Triple] = {
+                          counter: java.util.concurrent.atomic.AtomicInteger,
+                          defaultLang: Option[String] = None): Seq[Triple] = {
     if (n.isArray) {
-      n.elements().asScala.toSeq.flatMap(e => expandValue(subj, pred, e, bnodeBase, counter))
+      n.elements().asScala.toSeq.flatMap(e =>
+        expandValue(subj, pred, e, bnodeBase, counter, defaultLang))
     } else if (n.isTextual) {
-      Seq(Triple(subj, pred, n.asText(), obj_iri = false, null, null))
+      // JSON-LD: a bare string under a context @language is a language-tagged
+      // literal (`metadata.rb:940-942`); @value objects opt out unless they
+      // carry their own @language
+      Seq(Triple(subj, pred, n.asText(), obj_iri = false, defaultLang.orNull, null))
     } else if (n.isNumber) {
       val dt = if (n.isIntegralNumber) XsdNs + "integer" else XsdNs + "double"
       Seq(Triple(subj, pred, n.asText(), obj_iri = false, null, dt))
@@ -59,7 +64,7 @@ object Annotations {
           .filterNot(e => e.getKey.startsWith("@"))
           .flatMap { e =>
             val p = Iri.expand("", e.getKey)
-            expandValue(nodeId, p, e.getValue, bnodeBase, counter)
+            expandValue(nodeId, p, e.getValue, bnodeBase, counter, defaultLang)
           }
         head +: (typeTrs ++ rest)
       }

@@ -84,7 +84,11 @@ object CsvwPipeline {
     val tableParts: Seq[DataFrame] = resolved.zipWithIndex.flatMap { case (t, i) =>
       if (t.suppressOutput && !opts.validate) None
       else bind.get(t.url).map { b =>
-        val tableRes = s"_:table${i + 1}"
+        // a table's `@id` names it in the output graph (tree-ops-ext.json
+        // `"@id": "http://example.org/tree-ops-ext"` → IRI-subject Table
+        // node); otherwise a deterministic bnode
+        val tableRes = group.tables.find(_.url == t.url).flatMap(_.id)
+          .getOrElse(s"_:table${i + 1}")
         val rows = TripleMapper.triples(
           b.df, t, b.inputs, b.skolem, b.rownum, b.sourceNum,
           minimal = opts.minimal, tableResource = tableRes)
@@ -94,7 +98,8 @@ object CsvwPipeline {
           val boiler = TripleMapper.boilerplate(t, tableRes, groupRes)
           val tableMeta = group.tables.find(_.url == t.url)
           val common = tableMeta.toSeq.flatMap(_.common).zipWithIndex.flatMap {
-            case ((k, v), j) => Annotations.commonProperty(tableRes, k, v, s"t$i.$j")
+            case ((k, v), j) =>
+              Annotations.commonProperty(tableRes, k, v, s"t$i.$j", group.contextLang)
           }
           rows.unionByName((boiler ++ common).toDF())
         }
@@ -105,7 +110,7 @@ object CsvwPipeline {
       if (opts.minimal) Nil
       else {
         val common = group.common.zipWithIndex.flatMap { case ((k, v), j) =>
-          Annotations.commonProperty(groupRes, k, v, s"g$j")
+          Annotations.commonProperty(groupRes, k, v, s"g$j", group.contextLang)
         }
         val prov =
           if (opts.withProv)

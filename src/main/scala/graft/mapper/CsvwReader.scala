@@ -1,0 +1,133 @@
+package graft.mapper
+
+import graft.model._
+import graft.sources.{CsvDialectSource, CsvwDiscover, HtmlTableSource}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+
+/** File-driven entry point — the analog of the reference's
+  * `RDF::Reader.open(input, format: :tabular, base_uri: …)`
+  * (`/root/reference/lib/rdf/tabular/reader.rb:105-165`): dispatch on the
+  * input kind (metadata JSON document, HTML document, tabular file), run
+  * metadata discovery, read every referenced table through the
+  * dialect-exact scan, synthesize embedded metadata where no schema is
+  * declared, and run the whole-group pipeline.
+  *
+  * `baseUrl` plays the reference's `base_uri` role: table urls and FK
+  * resources resolve against it for the IRIs that appear in output triples,
+  * while the bytes are read from files resolved against the input's own
+  * directory (the filesystem analog of the reference's one HTTP origin).
+  */
+object CsvwReader {
+
+  final case class Opened(group: TableGroupMeta, result: CsvwPipeline.Result)
+
+  def open(spark: SparkSession, path: String, baseUrl: String,
+           minimal: Boolean = false, validate: Boolean = false,
+           userMetadata: Option[String] = None): Opened = {
+    val p = Paths.get(path)
+    val lower = path.toLowerCase
+    if (lower.endsWith(".json")) {
+      // entry 1: a metadata document names its tables (reader.rb:127-141)
+      val json = new String(Files.readAllBytes(p), "UTF-8")
+      val raw = CsvwJson.parseTableGroup(json)
+      openGroup(spark, raw.rebase(baseUrl), p.getParent, baseUrl, minimal,
+        validate, metadataJson = Some(json), fragments = Map.empty)
+    } else if (lower.endsWith(".html") || lower.endsWith(".htm")) {
+      // entry 2: an HTML document carries csvm+json script metadata; tables
+      // are either fragments of the document or external CSV references
+      val doc = HtmlTableSource.readDocument(spark, path, baseUrl)
+      openGroup(spark, doc.group, p.getParent, baseUrl, minimal,
+        validate, metadataJson = None, fragments = doc.fragmentTables)
+    } else {
+      // entry 3: a tabular file; metadata found by discovery precedence or
+      // synthesized (reader.rb via metadata.rb:180-251 for_input)
+      val raw = CsvwDiscover.forInput(path, userMetadata)
+      val metaDir = Option(p.getParent).getOrElse(Paths.get("."))
+      // a synthesized group's table url is the local path — that becomes
+      // the caller's base IRI, exactly as the reference derives the table
+      // url from the request url
+      val grp = raw.copy(tables = raw.tables.map(t =>
+        if (t.url == path) t.copy(url = baseUrl) else t))
+      openGroup(spark, grp.rebase(baseUrl), metaDir, baseUrl, minimal,
+        validate, metadataJson = None, fragments = Map.empty)
+    }
+  }
+
+  /** Map a (rebased, absolute) table url back to the local file it is served
+    * from: strip the base directory prefix and resolve the remainder under
+    * the metadata document's directory.
+    */
+  private def localFor(metaDir: Path, baseDir: String, tableUrl: String): Path = {
+    val noFrag = tableUrl.takeWhile(_ != '#')
+    val rel = if (noFrag.startsWith(baseDir)) noFrag.substring(baseDir.length) else noFrag
+    metaDir.resolve(rel)
+  }
+
+  private def openGroup(spark: SparkSession, group0: TableGroupMeta,
+                        metaDir: Path, baseUrl: String,
+                        minimal: Boolean, validate: Boolean,
+                        metadataJson: Option[String],
+                        fragments: Map[String, CsvDialectSource.ExactResult]): Opened = {
+    val baseDir = baseUrl.substring(0, baseUrl.lastIndexOf('/') + 1)
+    val lang = group0.contextLang.getOrElse("und")
+
+    // `"tableSchema": "<url>"` indirection: fetch the schema document from
+    // its sibling file; its relative FK resources resolve like the parent's
+    val withSchemas = group0.copy(tables = group0.tables.map { t =>
+      t.schemaRef match {
+        case Some(ref) if t.tableSchema.isEmpty =>
+          val local = localFor(metaDir, baseDir, ref)
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+            new String(Files.readAllBytes(local), "UTF-8"))
+          t.copy(tableSchema = Some(CsvwJson.schemaFrom(node)))
+        case _ => t
+      }
+    }).rebase(baseUrl) // re-resolve FK resources the fetched schemas added
+
+    // read every table; fill schema-less tables from embedded header titles
+    val reads: List[(TableMeta, CsvDialectSource.ExactResult, List[ColumnMeta])] =
+      withSchemas.tables.map { t =>
+        val dialect = t.dialect.orElse(withSchemas.dialect).getOrElse(DialectMeta())
+        val exact = fragments.getOrElse(t.url,
+          CsvDialectSource.readExact(spark, localFor(metaDir, baseDir, t.url).toString, dialect))
+        val embedded = CsvDialectSource.embeddedColumns(exact.headerTitles, lang)
+        val declaredCols = t.tableSchema.map(_.columns).getOrElse(Nil)
+        val t2 =
+          if (declaredCols.nonEmpty) t
+          else t.copy(tableSchema =
+            Some(t.tableSchema.getOrElse(SchemaMeta()).copy(columns = embedded)))
+        (t2, exact, embedded)
+      }
+
+    val group = withSchemas.copy(tables = reads.map(_._1))
+    val resolved = Resolve.group(group)
+
+    // bind: non-virtual resolved columns map positionally onto the exact
+    // scan's _c1.._cN (readExact already applied skipColumns); the skolem is
+    // unique per (table, logical row) so default-subject bnodes never
+    // collide across tables
+    val bind = resolved.zip(reads).zipWithIndex.map { case ((rt, (_, exact, _)), i) =>
+      val inputs = rt.nonVirtual.zipWithIndex.map { case (c, k) =>
+        c.name -> col(s"_c${k + 1}")
+      }.toMap
+      rt.url -> CsvwPipeline.BoundTable(
+        exact.rows, inputs,
+        skolem = concat(lit(s"${i + 1}."), col("_row")),
+        rownum = col("_row"),
+        sourceNum = col("_sourceRow"))
+    }.toMap
+
+    val embeddedByUrl = reads.collect {
+      case (t, _, embedded) if embedded.nonEmpty => t.url -> embedded
+    }.toMap
+    val result = CsvwPipeline.run(spark, group, bind, CsvwPipeline.Options(
+      minimal = minimal, validate = validate,
+      metadataJson = metadataJson,
+      embeddedColumns = if (validate) embeddedByUrl else Map.empty))
+    Opened(group, result)
+  }
+}

@@ -223,7 +223,11 @@ object TripleMapper {
     val rowTriples: Option[Column] =
       if (minimal) None
       else {
-        val rowUrl = concat(lit(base + "#row="), col("__srcnum").cast("string"))
+        // the row url REPLACES any fragment the table url carries
+        // (`metadata.rb:2134` `u.fragment = "row=#{sourceNumber}"` — an HTML
+        // fragment table's rows live at <doc>#row=N, not <doc>#frag#row=N)
+        val rowUrl = concat(lit(base.takeWhile(_ != '#') + "#row="),
+          col("__srcnum").cast("string"))
         val titleTrs = table.rowTitles.flatMap { tn =>
           cols.find(_.name == tn).map { c =>
             transform(vals(c), v => litTr(c, rowRes, lit(Vocab.Csvw + "title"), v))

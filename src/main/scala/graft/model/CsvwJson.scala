@@ -19,6 +19,7 @@ object CsvwJson {
     */
   def fromNode(n: JsonNode): TableGroupMeta = {
     val tpe = optText(n, "@type")
+    val ctxLang = contextLanguage(n)
     if (n.has("tables") || tpe.contains("TableGroup")) {
       TableGroupMeta(
         tables = n.get("tables").elements().asScala.map(tableFrom).toList,
@@ -26,17 +27,31 @@ object CsvwJson {
         id = optText(n, "@id"),
         inherited = inheritedFrom(n),
         common = commonFrom(n),
-        transformations = transformationsFrom(n))
+        transformations = transformationsFrom(n),
+        contextLang = ctxLang)
     } else if (n.has("url") || tpe.contains("Table")) {
-      TableGroupMeta(tables = List(tableFrom(n)))
+      TableGroupMeta(tables = List(tableFrom(n)), contextLang = ctxLang)
     } else if (n.has("columns") || tpe.contains("Schema")) {
-      TableGroupMeta(tables = List(TableMeta(url = "", tableSchema = Some(schemaFrom(n)))))
+      TableGroupMeta(tables = List(TableMeta(url = "", tableSchema = Some(schemaFrom(n)))),
+        contextLang = ctxLang)
     } else throw new IllegalArgumentException("unrecognized CSVW metadata document")
   }
 
+  /** Default language from the JSON-LD context: `"@context":
+    * ["http://www.w3.org/ns/csvw", {"@language": "en"}]`
+    * (`metadata.rb:1196-1207`). Applies to natural-language and common
+    * properties, NOT to cell values (those use the inherited `lang`).
+    */
+  def contextLanguage(n: JsonNode): Option[String] =
+    Option(n.get("@context")).toList.flatMap { c =>
+      val objs = if (c.isArray) c.elements().asScala.toList else List(c)
+      objs.filter(_.isObject).flatMap(o => optText(o, "@language"))
+    }.headOption
+
   def tableFrom(n: JsonNode): TableMeta = TableMeta(
     url = optText(n, "url").getOrElse(""),
-    tableSchema = Option(n.get("tableSchema")).map(schemaFrom),
+    tableSchema = Option(n.get("tableSchema")).filter(_.isObject).map(schemaFrom),
+    schemaRef = optText(n, "tableSchema"),
     suppressOutput = optBool(n, "suppressOutput").getOrElse(false),
     dialect = Option(n.get("dialect")).map(dialectFrom),
     notes = Option(n.get("notes")).map(strings).getOrElse(Nil),

@@ -125,7 +125,11 @@ final case class TableMeta(
     inherited: Inherited = Inherited(),
     /** common properties: (prefixed key or "notes") -> raw JSON (T4) */
     common: List[(String, String)] = Nil,
-    transformations: List[TransformationMeta] = Nil)
+    transformations: List[TransformationMeta] = Nil,
+    /** `"tableSchema": "<url>"` indirection (`metadata.rb:553-564` link
+      * properties): the schema lives in its own document, fetched by the
+      * reader entry point ([[graft.mapper.CsvwReader]]). */
+    schemaRef: Option[String] = None)
 
 final case class TableGroupMeta(
     tables: List[TableMeta],
@@ -133,7 +137,10 @@ final case class TableGroupMeta(
     id: Option[String] = None,
     inherited: Inherited = Inherited(),
     common: List[(String, String)] = Nil,
-    transformations: List[TransformationMeta] = Nil) {
+    transformations: List[TransformationMeta] = Nil,
+    /** JSON-LD context default language (`@context: [..., {"@language": …}]`)
+      * — scopes natural-language/common properties, not cell values. */
+    contextLang: Option[String] = None) {
 
   /** Resolve relative table `url`s and foreign-key `resource`s against the
     * metadata document's base, as the reference normalizes on load

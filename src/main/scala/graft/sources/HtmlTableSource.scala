@@ -59,11 +59,22 @@ object HtmlTableSource {
     }
     val trs = TrRe.findAllMatchIn(chosen.group(2)).map(_.group(1)).toList
     var headerRows = List.empty[List[String]]
-    var dataRows = List.empty[(Long, List[String])]
-    trs.zipWithIndex.foreach { case (tr, i) =>
+    var dataRows0 = List.empty[List[String]]
+    trs.foreach { tr =>
       val cells = CellRe.findAllMatchIn(tr).map(m => (m.group(1).toLowerCase, cellText(m.group(2)))).toList
       if (cells.exists(_._1 == "h")) headerRows :+= cells.filter(_._1 == "h").map(_._2)
-      else if (cells.nonEmpty) dataRows :+= ((i + 1).toLong, cells.map(_._2))
+      else if (cells.nonEmpty) dataRows0 :+= cells.map(_._2)
+    }
+    // Row numbering matches the reference's HTML leg (`metadata.rb:876-885`):
+    // its pre-scan advances `number` once per <tr> — header or not (the
+    // `if row.xpath('th')` guard is always truthy) — and the shared emit
+    // loop then increments per data row, so the FIRST data row is numbered
+    // (total tr count) + 1 and source numbers equal row numbers. The
+    // committed goldens (`countries_embed-standard.ttl` rownum 5,6,7 for a
+    // 4-tr table) pin this as observable behavior, so it is reproduced, not
+    // "fixed".
+    val dataRows = dataRows0.zipWithIndex.map { case (cells, j) =>
+      ((trs.length + j + 1).toLong, cells)
     }
     val width = (headerRows.map(_.length) ++ dataRows.map(_._2.length)).maxOption.getOrElse(0)
     val titles = (0 until width).toList.map(c => headerRows.flatMap(_.lift(c)).filter(_.nonEmpty))
@@ -90,8 +101,11 @@ object HtmlTableSource {
     val skipCols = dialect.skipColumns
     val width = math.max((titles.length - skipCols).max(0),
       data.map(_._2.length - skipCols).maxOption.getOrElse(0))
-    val rows = data.zipWithIndex.map { case ((src, cells), i) =>
-      Row.fromSeq((i + 1).toLong +: src +: cells.drop(skipCols).padTo(width, ""))
+    // HTML logical row numbers equal source numbers (metadata.rb:876-885:
+    // `number` and `number + skipped` coincide — skipped stays 0 on the
+    // HTML leg), so both columns carry the tr-based numbering from extract
+    val rows = data.map { case (src, cells) =>
+      Row.fromSeq(src +: src +: cells.drop(skipCols).padTo(width, ""))
     }
     val schema = StructType(
       StructField("_row", LongType) :: StructField("_sourceRow", LongType) ::

@@ -126,7 +126,9 @@ class CountriesHtmlGoldenSpec extends AnyFunSuite {
     val ex = "http://example.org/"
     def subj(cc: String) = s"$docUrl#countries_$cc"
     // transcribed from spec/data/countries_embed-minimal.ttl (fresh slice
-    // bnodes replaced by the deterministic skolems _:d1.._:d3 in row order)
+    // bnodes replaced by the deterministic skolems: HTML rows number from
+    // (total tr count) + 1 = 5, matching metadata.rb:876-885 and the
+    // rownum 5..7 in countries_embed-standard.ttl)
     val expected: Set[T] =
       Seq("AD" -> ("42.5", "1.6", "Andorra"),
           "AE" -> ("23.4", "53.8", "United Arab Emirates"),
@@ -137,8 +139,8 @@ class CountriesHtmlGoldenSpec extends AnyFunSuite {
           lit3(subj(cc), sch + "longitude", lon, xd),
           lit3(subj(cc), sch + "name", nm, None))
       }.toSet ++
-      Seq((1, "1960", "9616353"), (2, "1961", "9799379"),
-          (3, "1962", "9989846")).flatMap { case (r, yr, pop) => Seq[T](
+      Seq((5, "1960", "9616353"), (6, "1961", "9799379"),
+          (7, "1962", "9989846")).flatMap { case (r, yr, pop) => Seq[T](
         (s"_:d$r", ex + "countryRef", subj("AF"), true, None, None),
         lit3(s"_:d$r", ex + "year", yr, xg),
         lit3(s"_:d$r", ex + "population", pop, xi))

@@ -1,0 +1,58 @@
+package graft.mapper
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** File-driven golden parity with the reference's own test-file table
+  * (`/root/reference/spec/reader_spec.rb:157-168`): each family runs the
+  * ACTUAL fixture files under `/root/reference/spec/data` through the
+  * production entry point ([[CsvwReader.open]] — discovery, dialect scan,
+  * embedded metadata, schema indirection, pipeline) and compares the triple
+  * set against the reference's committed `.ttl` goldens parsed by
+  * [[TurtleLite]], under blank-node isomorphism — exactly the
+  * `be_equivalent_graph` check the reference suite performs. Unlike the
+  * hand-transcribed per-family golden specs, nothing here is copied by
+  * hand: a transcription error is impossible.
+  */
+class SuiteGoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val Data = "/root/reference/spec/data"
+
+  private def runFamily(input: String, ttl: String, minimal: Boolean): Unit = {
+    import spark.implicits._
+    val base = "http://example.org/" + input
+    val opened = CsvwReader.open(spark, s"$Data/$input", base, minimal = minimal)
+    val got = opened.result.triples
+      .as[(String, String, String, Boolean, Option[String], Option[String])]
+      .collect().toSet
+      .map((t: (String, String, String, Boolean, Option[String], Option[String])) =>
+        Triple(t._1, t._2, t._3, t._4, t._5.orNull, t._6.orNull))
+    val want = TurtleLite.parse(Files.readString(Paths.get(s"$Data/$ttl")), base)
+    assert(TurtleLite.isomorphic(got, want),
+      s"\n=== $input vs $ttl ===\n" + TurtleLite.diff(got, want))
+  }
+
+  // the reference's test_files map (reader_spec.rb:157-168), both modes
+  private val families = Seq(
+    "tree-ops.csv" -> "tree-ops-standard.ttl",
+    "tree-ops.csv-metadata.json" -> "tree-ops-standard.ttl",
+    "tree-ops-ext.json" -> "tree-ops-ext-standard.ttl",
+    "tree-ops-virtual.json" -> "tree-ops-virtual-standard.ttl",
+    "country-codes-and-names.csv" -> "country-codes-and-names-standard.ttl",
+    "countries.json" -> "countries-standard.ttl",
+    "countries.csv" -> "countries.csv-standard.ttl",
+    "countries.html" -> "countries_html-standard.ttl",
+    "countries_embed.html" -> "countries_embed-standard.ttl",
+    "roles.json" -> "roles-standard.ttl")
+
+  families.foreach { case (input, standardTtl) =>
+    test(s"$input minimal mode matches ${standardTtl.replace("standard", "minimal")}") {
+      runFamily(input, standardTtl.replace("standard", "minimal"), minimal = true)
+    }
+    test(s"$input standard mode matches $standardTtl") {
+      runFamily(input, standardTtl, minimal = false)
+    }
+  }
+}

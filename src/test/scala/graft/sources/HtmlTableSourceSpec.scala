@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** HTML table scan (S2) against structures lifted from the reference's
   * fixtures (`spec/data/countries.html`, `spec/data/tree-ops.html`); the
-  * numbering expectation comes from `countries_html-standard.ttl`
-  * (rownum 1..3, row url #row=2..4).
+  * numbering expectation comes from `countries_embed-standard.ttl`
+  * (rownum 5..7 for a 4-tr table: the reference counts every tr in its
+  * pre-scan, then numbers data rows after that total).
   */
 class HtmlTableSourceSpec extends AnyFunSuite {
   lazy val spark = graft.mapper.TestSpark.spark
@@ -28,8 +29,10 @@ class HtmlTableSourceSpec extends AnyFunSuite {
     val (titles, rows) = HtmlTableSource.extract(countriesHtml, Some("countries"))
     assert(titles == List(List("countryCode"), List("latitude"), List("longitude"), List("name")))
     assert(rows.map(_._2.head) == List("AD", "AE", "AF"))
-    // source row = tr position (header is tr 1)
-    assert(rows.map(_._1) == List(2L, 3L, 4L))
+    // source row = (total tr count) + data-row index: the reference's HTML
+    // pre-scan advances the counter once per tr, header or not
+    // (metadata.rb:876-885; countries_embed-standard.ttl rownum 5..7)
+    assert(rows.map(_._1) == List(5L, 6L, 7L))
   }
 
   test("second fragment selects the other table; missing fragment throws") {
@@ -46,8 +49,9 @@ class HtmlTableSourceSpec extends AnyFunSuite {
     val res = HtmlTableSource.readTable(spark, tmp.toString, Some("countries"))
     val rows = res.rows.orderBy("_row").collect()
     assert(rows.length == 3)
-    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L && rows(0).getString(2) == "AD")
-    assert(rows(2).getLong(0) == 3L && rows(2).getLong(1) == 4L && rows(2).getString(5) == "Afghanistan")
+    // HTML logical row numbers equal source numbers (tr-count-based)
+    assert(rows(0).getLong(0) == 5L && rows(0).getLong(1) == 5L && rows(0).getString(2) == "AD")
+    assert(rows(2).getLong(0) == 7L && rows(2).getLong(1) == 7L && rows(2).getString(5) == "Afghanistan")
     assert(res.headerTitles == List(List("countryCode"), List("latitude"), List("longitude"), List("name")))
   }
 
