@@ -23,7 +23,31 @@ import java.nio.file.{Files, Path, Paths}
   */
 object CsvwReader {
 
-  final case class Opened(group: TableGroupMeta, result: CsvwPipeline.Result)
+  final case class Opened(group: TableGroupMeta,
+                          resolved: List[ResolvedTable],
+                          bind: Map[String, CsvwPipeline.BoundTable],
+                          result: CsvwPipeline.Result)
+
+  /** `to_json` analog over an opened group (`reader.rb:411-447`): minimal
+    * mode is the flat array of describes objects; standard mode the nested
+    * table-group document. Reuses the open's table bindings, so the JSON
+    * pass stages the same codegen'd cell pipeline.
+    */
+  def jsonDocument(opened: Opened, minimal: Boolean): String = {
+    val parts = opened.group.tables.zip(opened.resolved)
+      .filterNot(_._2.suppressOutput)
+      .flatMap { case (tm, rt) =>
+        opened.bind.get(rt.url).map { b =>
+          val df =
+            if (minimal)
+              JsonOutput.minimalRowsOrdered(b.df, rt, b.inputs, b.skolem, b.rownum, b.sourceNum)
+            else
+              JsonOutput.describedRows(b.df, rt, b.inputs, b.skolem, b.rownum, b.sourceNum)
+          (tm, rt, df)
+        }
+      }
+    JsonOutput.groupDocument(opened.group, parts, minimal)
+  }
 
   def open(spark: SparkSession, path: String, baseUrl: String,
            minimal: Boolean = false, validate: Boolean = false,
@@ -128,6 +152,6 @@ object CsvwReader {
       minimal = minimal, validate = validate,
       metadataJson = metadataJson,
       embeddedColumns = if (validate) embeddedByUrl else Map.empty))
-    Opened(group, result)
+    Opened(group, resolved, bind, result)
   }
 }

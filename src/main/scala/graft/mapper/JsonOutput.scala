@@ -45,6 +45,16 @@ object JsonOutput {
     assembled(df, table, inputs, skolem, rownum, sourceNum)
       .select(explode(col("describes")).as("json"))
 
+  /** Minimal-mode describes objects with their (row, within-row) position,
+    * for document assembly in the reference's row order (`reader.rb:618-622`
+    * concatenates per-row describes arrays).
+    */
+  def minimalRowsOrdered(df: DataFrame, table: ResolvedTable,
+                         inputs: Map[String, Column],
+                         skolem: Column, rownum: Column, sourceNum: Column): DataFrame =
+    assembled(df, table, inputs, skolem, rownum, sourceNum)
+      .select(col("rn").as("__rn"), posexplode(col("describes")).as(Seq("__pos", "json")))
+
   /** Standard-mode per-row objects `{"url":…,"rownum":…,"describes":[…]}`
     * plus row metadata for document assembly.
     */
@@ -81,7 +91,9 @@ object JsonOutput {
       val vals = col(s"`__cell_${c.name}`").getField("vals")
       val v =
         if (c.separator.isDefined) transform(vals, x => x.getField("lex"))
-        else coalesce(element_at(vals, 1).getField("lex"), lit(""))
+        // size guard: ANSI element_at throws on an empty value list (a
+        // null-substituted cell), where the template variable is just unbound
+        else coalesce(when(size(vals) >= 1, element_at(vals, 1).getField("lex")), lit(""))
       c.name -> v
     }
     val rowVars: Seq[(String, Column)] = Seq(
@@ -205,7 +217,8 @@ object JsonOutput {
     a.values().forEach(n => describes += n)
 
     val r = mapper.createObjectNode()
-    r.put("url", s"$tableUrl#row=$src")
+    // the row url REPLACES any fragment on the table url (metadata.rb:2134)
+    r.put("url", s"${tableUrl.takeWhile(_ != '#')}#row=$src")
     r.put("rownum", rn)
     if (titles.nonEmpty) {
       if (titles.length == 1) r.put("titles", titles.head)
@@ -274,5 +287,82 @@ object JsonOutput {
         .foreach(r => rowArr.add(mapper.readTree(r.getString(0))))
     }
     mapper.writeValueAsString(root)
+  }
+
+  /** JSON-friendly common-property value (`metadata.rb:959-980`, the
+    * non-block branch of `common_properties`): `@value` objects unwrap to
+    * the value, `@id`-only objects flatten to the IRI string, node objects
+    * keep `@id`/`@type` and compact members recursively, arrays map,
+    * primitives pass through.
+    */
+  def compactCommon(mapper: ObjectMapper, n: JsonNode): JsonNode = {
+    if (n.isArray) {
+      val arr = mapper.createArrayNode()
+      n.elements().forEachRemaining(e => arr.add(compactCommon(mapper, e)))
+      arr
+    } else if (n.isObject) {
+      if (n.has("@value")) n.get("@value")
+      else if (n.size() == 1 && n.has("@id")) n.get("@id")
+      else {
+        val o = mapper.createObjectNode()
+        n.properties().forEach { e =>
+          e.getKey match {
+            case "@id" | "@type" => o.set[JsonNode](e.getKey, e.getValue)
+            case k => o.set[JsonNode](k, compactCommon(mapper, e.getValue))
+          }
+        }
+        o
+      }
+    } else n
+  }
+
+  /** Whole-group JSON document, the `to_hash` analog (`reader.rb:456-637`):
+    * minimal mode concatenates every table's describes objects in row
+    * order; standard mode nests `{"@id"?, common…, "tables": [{"@id"?,
+    * "url", common…, "notes"?, "row": […]}]}`. Suppressed tables are
+    * omitted. `parts` carries, per non-suppressed table, the DataFrame from
+    * [[minimalRowsOrdered]] (minimal) or [[describedRows]] (standard).
+    */
+  def groupDocument(group: graft.model.TableGroupMeta,
+                    parts: Seq[(graft.model.TableMeta, ResolvedTable, DataFrame)],
+                    minimal: Boolean): String = {
+    val mapper = new ObjectMapper()
+    if (minimal) {
+      val arr = mapper.createArrayNode()
+      parts.foreach { case (_, _, ordered) =>
+        ordered.select(col("json"), col("__rn"), col("__pos"))
+          .collect().sortBy(r => (r.getLong(1), r.getInt(2)))
+          .foreach(r => arr.add(mapper.readTree(r.getString(0))))
+      }
+      mapper.writeValueAsString(arr)
+    } else {
+      val root = mapper.createObjectNode()
+      group.id.foreach(root.put("@id", _))
+      group.common.foreach { case (k, raw) =>
+        val v = compactCommon(mapper, mapper.readTree(raw))
+        val wrapped = // notes is always an array (reader.rb:474-475)
+          if (k == "notes" && !v.isArray) { val a = mapper.createArrayNode(); a.add(v); a }
+          else v
+        root.set[JsonNode](k, wrapped)
+      }
+      val tablesArr = root.putArray("tables")
+      parts.foreach { case (tm, rt, described) =>
+        val tNode = tablesArr.addObject()
+        tm.id.foreach(tNode.put("@id", _))
+        tNode.put("url", rt.url)
+        tm.common.foreach { case (k, raw) =>
+          val v = compactCommon(mapper, mapper.readTree(raw))
+          val wrapped =
+            if (k == "notes" && !v.isArray) { val a = mapper.createArrayNode(); a.add(v); a }
+            else v
+          tNode.set[JsonNode](k, wrapped)
+        }
+        val rowArr = tNode.putArray("row")
+        described.select(col("json"), col("__rn"), col("__src"))
+          .collect().sortBy(_.getLong(1))
+          .foreach(r => rowArr.add(mapper.readTree(r.getString(0))))
+      }
+      mapper.writeValueAsString(root)
+    }
   }
 }

@@ -55,4 +55,40 @@ class SuiteGoldenSpec extends AnyFunSuite {
       runFamily(input, standardTtl, minimal = false)
     }
   }
+
+  // ---- to_json parity (reader_spec.rb:207-246): same families, JSON side
+
+  /** Jackson trees with numeric-type canonicalization (IntNode(1) and
+    * LongNode(1) must compare equal) → plain Scala structures.
+    */
+  private def norm(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    import scala.jdk.CollectionConverters._
+    if (n.isObject)
+      n.properties().asScala.map(e => e.getKey -> norm(e.getValue)).toMap
+    else if (n.isArray) n.elements().asScala.map(norm).toList
+    else if (n.isNumber) BigDecimal(n.decimalValue()).underlying.stripTrailingZeros
+    else if (n.isTextual) n.asText()
+    else if (n.isBoolean) n.asBoolean()
+    else null
+  }
+
+  private def runJsonFamily(input: String, jsonGolden: String, minimal: Boolean): Unit = {
+    val base = "http://example.org/" + input
+    val opened = CsvwReader.open(spark, s"$Data/$input", base, minimal = minimal)
+    val got = CsvwReader.jsonDocument(opened, minimal)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val gotN = norm(mapper.readTree(got))
+    val wantN = norm(mapper.readTree(Files.readString(Paths.get(s"$Data/$jsonGolden"))))
+    assert(gotN == wantN, s"\n=== $input vs $jsonGolden ===\ngot:  $got")
+  }
+
+  families.foreach { case (input, standardTtl) =>
+    val stdJson = standardTtl.replace(".ttl", ".json")
+    test(s"$input to_json minimal matches ${stdJson.replace("standard", "minimal")}") {
+      runJsonFamily(input, stdJson.replace("standard", "minimal"), minimal = true)
+    }
+    test(s"$input to_json standard matches $stdJson") {
+      runJsonFamily(input, stdJson, minimal = false)
+    }
+  }
 }
