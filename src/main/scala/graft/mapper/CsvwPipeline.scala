@@ -62,7 +62,12 @@ object CsvwPipeline {
     def severityCounts: Map[String, Long] = Map(
       "metadata_warning" -> metadata.warnings.size.toLong,
       "metadata_error" -> metadata.errors.size.toLong,
-      "cell_error" -> cellErrors.count())
+      "cell_error" -> cellErrors.count(),
+      // key-integrity failures are errors in validate mode: the reference
+      // logs "has duplicate primary key"/"ignoring foreign key integrity"
+      // and validate! raises (reader.rb:287, 665-673, 708-721)
+      "pk_violation_error" -> pkViolations.values.map(_.count()).sum,
+      "fk_violation_error" -> fkViolations.values.map(_.count()).sum)
 
     /** Validate-mode exit gate: raise if any error-severity count is
       * non-zero, as `raise Error, "Errors found during processing"` does.

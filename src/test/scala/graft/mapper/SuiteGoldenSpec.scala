@@ -91,4 +91,27 @@ class SuiteGoldenSpec extends AnyFunSuite {
       runJsonFamily(input, stdJson, minimal = false)
     }
   }
+
+  // ---- validate-mode parity (reader_spec.rb:278-288): test232 duplicate PK
+
+  test("test232: duplicate primary key raises in validate mode") {
+    val base = "http://example.org/test232-metadata.json"
+    val opened = CsvwReader.open(spark, s"$Data/test232-metadata.json", base,
+      minimal = true, validate = true)
+    // both rows carry PK value "1" — one duplicated key group
+    val pk = opened.result.pkViolations.values.head.collect()
+    assert(pk.map(_.getString(0)).toSeq == Seq("1"), pk.toSeq)
+    assert(opened.result.severityCounts("pk_violation_error") == 1L)
+    // "Errors found during processing" (reader.rb:265-267)
+    intercept[IllegalStateException] { opened.result.raiseOnErrors() }
+  }
+
+  test("countries.json: consistent foreign keys validate clean (reader_spec.rb:291-298)") {
+    val base = "http://example.org/countries.json"
+    val opened = CsvwReader.open(spark, s"$Data/countries.json", base,
+      minimal = true, validate = true)
+    assert(opened.result.fkViolations.values.forall(_.count() == 0))
+    assert(opened.result.pkViolations.values.forall(_.count() == 0))
+    opened.result.raiseOnErrors() // must not throw
+  }
 }
