@@ -76,8 +76,11 @@ object CsvwReader {
       // url from the request url
       val grp = raw.copy(tables = raw.tables.map(t =>
         if (t.url == path) t.copy(url = baseUrl) else t))
+      // a .tsv input defaults the delimiter to tab (reader.rb:129)
+      val dflt =
+        if (lower.endsWith(".tsv")) DialectMeta(delimiter = "\t") else DialectMeta()
       openGroup(spark, grp.rebase(baseUrl), metaDir, baseUrl, minimal,
-        validate, metadataJson = None, fragments = Map.empty)
+        validate, metadataJson = None, fragments = Map.empty, defaultDialect = dflt)
     }
   }
 
@@ -95,7 +98,8 @@ object CsvwReader {
                         metaDir: Path, baseUrl: String,
                         minimal: Boolean, validate: Boolean,
                         metadataJson: Option[String],
-                        fragments: Map[String, CsvDialectSource.ExactResult]): Opened = {
+                        fragments: Map[String, CsvDialectSource.ExactResult],
+                        defaultDialect: DialectMeta = DialectMeta()): Opened = {
     val baseDir = baseUrl.substring(0, baseUrl.lastIndexOf('/') + 1)
     val lang = group0.contextLang.getOrElse("und")
 
@@ -115,7 +119,7 @@ object CsvwReader {
     // read every table; fill schema-less tables from embedded header titles
     val reads: List[(TableMeta, CsvDialectSource.ExactResult, List[ColumnMeta])] =
       withSchemas.tables.map { t =>
-        val dialect = t.dialect.orElse(withSchemas.dialect).getOrElse(DialectMeta())
+        val dialect = t.dialect.orElse(withSchemas.dialect).getOrElse(defaultDialect)
         val exact = fragments.getOrElse(t.url,
           CsvDialectSource.readExact(spark, localFor(metaDir, baseDir, t.url).toString, dialect))
         val embedded = CsvDialectSource.embeddedColumns(exact.headerTitles, lang)

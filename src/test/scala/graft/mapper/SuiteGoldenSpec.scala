@@ -106,6 +106,22 @@ class SuiteGoldenSpec extends AnyFunSuite {
     intercept[IllegalStateException] { opened.result.raiseOnErrors() }
   }
 
+  test("tree-ops.tsv: tab dialect by extension, embedded-only metadata") {
+    import spark.implicits._
+    val base = "http://example.org/tree-ops.tsv"
+    val opened = CsvwReader.open(spark, s"$Data/tree-ops.tsv", base, minimal = true)
+    // names synthesize from the tab-split header titles, pct-encoded
+    assert(opened.resolved.head.columns.map(_.name) ==
+      List("GID", "On%20Street", "Species", "Trim%20Cycle", "Inventory%20Date"))
+    val got = opened.result.triples
+      .as[(String, String, String, Boolean, Option[String], Option[String])]
+      .collect()
+    val rows = got.map(_._1).distinct.length
+    assert(got.length == rows * 5, s"${got.length} triples for $rows rows")
+    assert(got.exists(t => t._2 == s"$base#GID" && t._3 == "1"))
+    assert(got.exists(t => t._2 == s"$base#On%20Street" && t._3 == "ADDISON AV"))
+  }
+
   test("countries.json: consistent foreign keys validate clean (reader_spec.rb:291-298)") {
     val base = "http://example.org/countries.json"
     val opened = CsvwReader.open(spark, s"$Data/countries.json", base,
