@@ -862,6 +862,26 @@ object SparkEntry {
 
     // ---- HTML table scan (S2): fragment-selected table, th header row,
     // fixture-verified numbering (logical over data rows, source = tr index)
+    // ---- file-driven reader entry point (Reader.open analog): CSV +
+    // discovered {+url}-metadata.json → dialect scan → pipeline, end-to-end
+    "r1_reader_open" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_reader")
+      val rows = t(s, d, "region").select(col("r_regionkey").cast("long"), col("r_name"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => s"${r.getLong(0)},${r.getString(1)}")
+      val csv = dir.resolve("regions.csv")
+      java.nio.file.Files.writeString(csv, "key,name\n" + rows.mkString("\n") + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(csv.toString + "-metadata.json"),
+        """{"url": "regions.csv", "tableSchema": {
+            "aboutUrl": "#r{key}",
+            "columns": [
+              {"name": "key", "titles": "key", "datatype": "integer"},
+              {"name": "name", "titles": "name", "datatype": "string"}]}}""")
+      mapper.CsvwReader.open(s, csv.toString, "http://example.org/regions.csv",
+        minimal = true).result.triples
+    }),
+
     "s2_html_table" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempFile("graft_html", ".html")
       val rows = t(s, d, "region").select(col("r_regionkey").cast("long"), col("r_name"))
@@ -1351,6 +1371,18 @@ object SparkEntry {
 
     // header tr is source row 1; data rows follow (countries_html fixture
     // numbering)
+    "r1_reader_open" ->
+      """WITH r AS (SELECT r_regionkey AS k, r_name AS n FROM region)
+        |SELECT 'http://example.org/regions.csv#r' || CAST(k AS VARCHAR) AS subj,
+        |  'http://example.org/regions.csv#key' AS pred, CAST(k AS VARCHAR) AS obj,
+        |  FALSE AS obj_iri, CAST(NULL AS VARCHAR) AS lang,
+        |  'http://www.w3.org/2001/XMLSchema#integer' AS dtype FROM r
+        |UNION ALL
+        |SELECT 'http://example.org/regions.csv#r' || CAST(k AS VARCHAR) AS subj,
+        |  'http://example.org/regions.csv#name' AS pred, n AS obj,
+        |  FALSE AS obj_iri, CAST(NULL AS VARCHAR) AS lang,
+        |  CAST(NULL AS VARCHAR) AS dtype FROM r""".stripMargin,
+
     // HTML rows number from (total tr count) + 1 — the regions table has a
     // header tr plus one tr per region, so the first data row is
     // (1 + count(*)) + 1; logical and source numbers coincide on the HTML
