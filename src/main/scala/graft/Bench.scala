@@ -112,12 +112,19 @@ object Bench {
         // pre-materialize the streaming fixture so str1 times the stream,
         // not the one-off input rewrite
         SparkEntry.streamFixture(spark, sfDir)
+        // per-query MIN over reps: the VM host's noise is one-sided (steal/
+        // IO-wait spikes only ever slow a query down), so the min is the
+        // engine's time and a single host hiccup can't define a number
+        val reps = sys.env.getOrElse("GRAFT_BENCH_HEADLINE_REPS", "2").toInt
         headline.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            val t0 = System.nanoTime()
-            val ok = try { fn(spark, sfDir).count(); true }
-                     catch { case _: Throwable => false }
-            name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+            val times = (1 to reps).map { _ =>
+              val t0 = System.nanoTime()
+              val ok = try { fn(spark, sfDir).count(); true }
+                       catch { case _: Throwable => false }
+              if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+            }
+            name -> (if (times.contains(-1.0)) -1.0 else times.min)
           }
         }
       }
