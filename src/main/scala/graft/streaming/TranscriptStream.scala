@@ -130,6 +130,12 @@ object TranscriptStream {
       .select(col("subj"), col("pred"), col("obj"), col(eventTimeCol))
       .as[(String, String, String, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2, r._3))
+      // NOTE: a `.mapValues(_._4)` here would halve the shuffle payload
+      // (the full tuple repeats the key strings), but mapValues rewrites
+      // the watermarked attribute and strips its event-time metadata — the
+      // analyzer then rejects EventTimeTimeout. The duplicated key strings
+      // are the price of the typed TTL API; `dedupedTriplesNative` is the
+      // payload-lean variant.
       .flatMapGroupsWithState[Long, (String, String, String)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (String, String, String),
