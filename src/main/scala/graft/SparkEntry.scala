@@ -118,6 +118,32 @@ object SparkEntry {
     * measurement. Production guidance is the same: state checkpoints belong
     * on fast storage. The dir is deleted when the query finishes.
     */
+  /** Optional RocksDB state store for the large-key-space dedup streams
+    * (`GRAFT_STATE_PROVIDER=rocksdb`): at 100 TB the HDFS-backed provider
+    * holds every key on the executor heap and snapshots the full map per
+    * checkpoint, while RocksDB keeps state off-heap with changelog
+    * checkpointing — the production choice once state outgrows memory.
+    * Off by default locally: for a single-microbatch 0.5M-key load the
+    * in-heap map is faster (measured ~1.1× at sf0.1: str2 4.43 s vs
+    * 4.95 s, str3 4.08 s vs 4.62 s), exactly the crossover the provider
+    * knob exists for — RocksDB pays per-op native overhead and wins only
+    * once state outgrows executor heap.
+    */
+  private def withStateProvider[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    sys.env.get("GRAFT_STATE_PROVIDER") match {
+      case Some("rocksdb") =>
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try body finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      case _ => body
+    }
+  }
+
   private def withStreamCheckpoint[T](body: String => T): T = {
     val base =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
@@ -509,18 +535,20 @@ object SparkEntry {
       // state-store ops are the batch's CPU, so parallelism should match
       // cores, not be sized down to a small key space
       withStatePartitions(s, 32) {
-        withStreamCheckpoint { ckpt =>
-          val trip = graft.streaming.TranscriptStream.triples(
-            graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable,
-            carryEventTime = true)
-          val q = graft.streaming.TranscriptStream.dedupedTriplesTtl(trip,
-              ttl = java.time.Duration.ofDays(365))
-            .toDF("subj", "pred", "obj")
-            .writeStream.outputMode("append").format("memory")
-            .option("checkpointLocation", ckpt)
-            .queryName("graft_stream_dedup").start()
-          q.processAllAvailable(); q.stop()
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        withStateProvider(s) {
+          withStreamCheckpoint { ckpt =>
+            val trip = graft.streaming.TranscriptStream.triples(
+              graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable,
+              carryEventTime = true)
+            val q = graft.streaming.TranscriptStream.dedupedTriplesTtl(trip,
+                ttl = java.time.Duration.ofDays(365))
+              .toDF("subj", "pred", "obj")
+              .writeStream.outputMode("append").format("memory")
+              .option("checkpointLocation", ckpt)
+              .queryName("graft_stream_dedup").start()
+            q.processAllAvailable(); q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
         }
       }
       s.table("graft_stream_dedup")
@@ -533,16 +561,18 @@ object SparkEntry {
       val tmp = streamFixture(s, d)
       // same key cardinality as str2: parallelism matches cores
       withStatePartitions(s, 32) {
-        withStreamCheckpoint { ckpt =>
-          val trip = graft.streaming.TranscriptStream.triples(
-            graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable,
-            carryEventTime = true)
-          val q = graft.streaming.TranscriptStream.dedupedTriplesNative(trip)
-            .writeStream.outputMode("append").format("memory")
-            .option("checkpointLocation", ckpt)
-            .queryName("graft_stream_dedup_native").start()
-          q.processAllAvailable(); q.stop()
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        withStateProvider(s) {
+          withStreamCheckpoint { ckpt =>
+            val trip = graft.streaming.TranscriptStream.triples(
+              graft.streaming.TranscriptStream.readStream(s, tmp), transcriptTable,
+              carryEventTime = true)
+            val q = graft.streaming.TranscriptStream.dedupedTriplesNative(trip)
+              .writeStream.outputMode("append").format("memory")
+              .option("checkpointLocation", ckpt)
+              .queryName("graft_stream_dedup_native").start()
+            q.processAllAvailable(); q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
         }
       }
       s.table("graft_stream_dedup_native")
