@@ -166,6 +166,16 @@ object Bench {
       val Array(loCores, hiCores) =
         sys.env.getOrElse("GRAFT_BENCH_CORES", "4,16").split(",").map(_.trim.toInt)
       val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "6").toInt
+      // window-quality telemetry: ambient load BEFORE the run (nothing of
+      // ours is running yet) plus absolute wall times classify the host
+      // window — a contended host taxes the 16-core config ~4× harder than
+      // the 4-core one and systematically depresses the measured ratio, so
+      // a run self-documents whether it measured the engine or the host
+      def loadAvg(): Double =
+        try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+          .split("\\s+")(0).toDouble
+        catch { case _: Exception => -1.0 }
+      val loadBefore = loadAvg()
       val samples: Seq[(Int, (Long, Double))] = (1 to reps).flatMap { _ =>
         Seq(loCores -> spawnWorker(loCores, corpus), hiCores -> spawnWorker(hiCores, corpus))
       }
@@ -205,7 +215,8 @@ object Bench {
            |"triples_per_sec_lo":${f"$tp8%.0f"},"triples_per_sec_hi":${f"$tp32%.0f"},
            |"efficiency":${f"$eff%.3f"},"efficiency_pairs":$pairEffsJson,
            |"efficiency_loo_min":${f"$effLooMin%.3f"},
-           |"efficiency_cross_window":${f"$effCross%.3f"}}""".stripMargin.replaceAll("\n", "")
+           |"efficiency_cross_window":${f"$effCross%.3f"},
+           |"ambient_load_before":${f"$loadBefore%.2f"}}""".stripMargin.replaceAll("\n", "")
 
       def execs(c: Int) = math.max(c / 4, 1)
       val cfg = (c: Int) =>
