@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AnnFunctions, DedupFunctions, Multimodal, TextFunctions}
+import graft.functions.{AnnFunctions, DedupFunctions, Multimodal, Sampling, TextFunctions}
 import graft.link.{ConnectedComponents, EntityLink}
 import graft.mapper.{TripleMapper, Vocab}
 import graft.model.{CsvwJson, Resolve, ResolvedTable}
@@ -485,6 +485,15 @@ object SparkEntry {
       col("doc_id"),
       TextFunctions.tokenCountWs(col("text")).as("n_ws"),
       TextFunctions.tokenCountBpe(col("text")).as("n_bpe"))),
+
+    // ---- deterministic stratified sampling (pretraining-mix construction):
+    // per-language keep rates, membership a pure function of doc_id — the
+    // integer hash replays exactly in the DuckDB oracle
+    "x6_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(
+        t(s, d, "documents").select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred")),
+        "doc_id", col("lang_pred"),
+        rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)),
 
     "x4_fingerprint" -> ((s, d) => t(s, d, "documents").select(
       col("doc_id"),
@@ -1172,6 +1181,36 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> length(t) > 0)) AS n_ws,
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin,
+
+    // same lang derivation as x1, then the exact integer sampling hash:
+    // (doc_id · 2654435761) mod 2^31 / 2^31 < rate(lang)
+    "x6_stratified_sample" -> {
+      val langs = TextFunctions.stopwords
+      val hitExprs = langs.toSeq.sortBy(_._1).map { case (l, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"count(DISTINCT tok) FILTER (tok IN ($inList)) AS hits_$l"
+      }.mkString(",\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS tok
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |    $hitExprs
+         |  FROM toks WHERE length(tok) > 0 GROUP BY doc_id),
+         |unp AS (
+         |  SELECT doc_id, lang, hits FROM hits
+         |  UNPIVOT (hits FOR lang IN (hits_de AS 'de', hits_en AS 'en', hits_es AS 'es', hits_fr AS 'fr'))),
+         |best AS (
+         |  SELECT doc_id, lang, hits,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+         |  FROM unp),
+         |pred AS (
+         |  SELECT doc_id, CASE WHEN hits >= 2 THEN lang ELSE 'und' END AS lang_pred
+         |  FROM best WHERE rn = 1)
+         |SELECT doc_id, lang_pred FROM pred
+         |WHERE CAST((doc_id * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0
+         |  < CASE lang_pred WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""".stripMargin
+    },
 
     // deterministic-formula oracle: the quality score ported term-by-term to
     // DuckDB with every literal forced to DOUBLE (DuckDB would otherwise do

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Pretraining mixes are
+  * built by *rate-controlled, reproducible* subsampling per stratum
+  * (language, source, quality band) — `df.sample()` is out: its output
+  * depends on partitioning and reruns disagree. Here membership is a pure
+  * function of the row's id, so the sample is stable across runs,
+  * partitionings, and engines, and the filter sits in the codegen'd scan
+  * projection (no shuffle, no RNG state).
+  */
+object Sampling {
+
+  /** Map an id to a deterministic point in [0, 1): Knuth multiplicative
+    * hashing on the low 31 bits (`⌊2^32/φ⌋ = 2654435761`). Exact integer
+    * arithmetic — any engine (the DuckDB oracle included) reproduces the
+    * same sample bit-for-bit, unlike engine-specific string hashes. For
+    * string ids, hash to a number first (e.g. `xxhash64`); the plan shape
+    * is identical, only cross-engine replay is lost.
+    */
+  def hashUnit(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(1L << 31)).cast("double") /
+      lit((1L << 31).toDouble)
+
+  /** Per-stratum Bernoulli sampling at stratum-specific rates: keep a row
+    * iff `hashUnit(id) < rate(stratum)`. Rates compile to a plan-time CASE
+    * chain (strata counts are config-sized), so the whole operator is one
+    * codegen'd filter over the scan — at 100 TB this is the cheapest
+    * possible downsampling: no shuffle, no sort, pushdown-friendly.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), s"rates out of [0,1]: $rates")
+    require(defaultRate >= 0.0 && defaultRate <= 1.0, s"defaultRate out of [0,1]: $defaultRate")
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+      case ((stratum, r), acc) => when(strataCol === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(idCol)) < rate)
+  }
+}

@@ -67,6 +67,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Generate".r.findAllMatchIn(plan).length == 1, plan)
   }
 
+  test("stratified sampling: deterministic, rate-accurate, exchange-free") {
+    import graft.functions.Sampling
+    val docs = spark.range(0, 100000, 1, 8).selectExpr(
+      "id AS doc_id", "CASE WHEN id % 4 = 0 THEN 'en' ELSE 'de' END AS lang")
+    val sampled = Sampling.stratifiedSample(
+      docs, "doc_id", col("lang"), Map("en" -> 0.5, "de" -> 0.1), 0.0)
+    // pure filter over the scan: no exchange, stays in codegen
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // rerun-identical (pure function of the id, not of partitioning)
+    val once = sampled.collect().map(_.getLong(0)).sorted.toSeq
+    val again = Sampling.stratifiedSample(
+      docs.repartition(3), "doc_id", col("lang"), Map("en" -> 0.5, "de" -> 0.1), 0.0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(once == again)
+    // rates hit within a few percent at n=25k/75k per stratum
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") / 25000.0 - 0.5) < 0.05, byLang)
+    assert(math.abs(byLang("de") / 75000.0 - 0.1) < 0.03, byLang)
+  }
+
   test("entity linking broadcasts the dictionary (no corpus shuffle)") {
     val corpus = (0 until 50).map(i => (i.toLong, s"text spark $i")).toDF("doc_id", "text")
     val dict = Seq(("e1", "spark")).toDF("entity_id", "surface")
