@@ -141,6 +141,14 @@ object Bench {
       } else ""
     }
     if (doScaling) {
+      // window-quality telemetry: ambient load sampled BEFORE our own
+      // corpus-generation burst (a post-burst reading still carries our own
+      // contribution in the 1-min average and misreads the window)
+      def loadAvg(): Double =
+        try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+          .split("\\s+")(0).toDouble
+        catch { case _: Exception => -1.0 }
+      val loadBefore = loadAvg()
       // sized so per-run compute dominates fixed overhead AND host noise:
       // small corpora measured the split planner + scheduling jitter, not
       // the engine (observed efficiency 0.3 at 1M turns vs 0.73 at 12M)
@@ -166,16 +174,6 @@ object Bench {
       val Array(loCores, hiCores) =
         sys.env.getOrElse("GRAFT_BENCH_CORES", "4,16").split(",").map(_.trim.toInt)
       val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "6").toInt
-      // window-quality telemetry: ambient load BEFORE the run (nothing of
-      // ours is running yet) plus absolute wall times classify the host
-      // window — a contended host taxes the 16-core config ~4× harder than
-      // the 4-core one and systematically depresses the measured ratio, so
-      // a run self-documents whether it measured the engine or the host
-      def loadAvg(): Double =
-        try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-          .split("\\s+")(0).toDouble
-        catch { case _: Exception => -1.0 }
-      val loadBefore = loadAvg()
       val samples: Seq[(Int, (Long, Double))] = (1 to reps).flatMap { _ =>
         Seq(loCores -> spawnWorker(loCores, corpus), hiCores -> spawnWorker(hiCores, corpus))
       }
