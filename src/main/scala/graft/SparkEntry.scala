@@ -112,12 +112,6 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
-  /** Streaming state checkpoints go to tmpfs when available: the HDFS-backed
-    * state store fsyncs a delta file per partition per microbatch, so on a
-    * slow/contended VM disk the checkpoint — not the stream — dominates the
-    * measurement. Production guidance is the same: state checkpoints belong
-    * on fast storage. The dir is deleted when the query finishes.
-    */
   /** Optional RocksDB state store for the large-key-space dedup streams
     * (`GRAFT_STATE_PROVIDER=rocksdb`): at 100 TB the HDFS-backed provider
     * holds every key on the executor heap and snapshots the full map per
@@ -144,6 +138,12 @@ object SparkEntry {
     }
   }
 
+  /** Streaming state checkpoints go to tmpfs when available: the HDFS-backed
+    * state store fsyncs a delta file per partition per microbatch, so on a
+    * slow/contended VM disk the checkpoint — not the stream — dominates the
+    * measurement. Production guidance is the same: state checkpoints belong
+    * on fast storage. The dir is deleted when the query finishes.
+    */
   private def withStreamCheckpoint[T](body: String => T): T = {
     val base =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
@@ -153,8 +153,11 @@ object SparkEntry {
     try body(dir.toString)
     finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      // Files.walk holds open directory handles until closed
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
@@ -522,10 +525,15 @@ object SparkEntry {
             .writeStream.outputMode("complete").format("memory")
             .option("checkpointLocation", ckpt)
             .queryName("graft_stream_counts").start()
-          q.processAllAvailable(); q.stop()
-          // the StateStore maintenance thread outlives the query and logs a
-          // stack trace against a stopped SparkEnv in shared-JVM harnesses
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          // finally: a failure mid-stream must still stop the query BEFORE
+          // withStreamCheckpoint deletes the live checkpoint dir under it
+          try q.processAllAvailable() finally {
+            q.stop()
+            // the StateStore maintenance thread outlives the query and logs
+            // a stack trace against a stopped SparkEnv in shared-JVM
+            // harnesses
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
         }
       }
       s.table("graft_stream_counts").select(
@@ -555,8 +563,10 @@ object SparkEntry {
               .writeStream.outputMode("append").format("memory")
               .option("checkpointLocation", ckpt)
               .queryName("graft_stream_dedup").start()
-            q.processAllAvailable(); q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+            try q.processAllAvailable() finally {
+              q.stop()
+              org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+            }
           }
         }
       }
@@ -579,8 +589,10 @@ object SparkEntry {
               .writeStream.outputMode("append").format("memory")
               .option("checkpointLocation", ckpt)
               .queryName("graft_stream_dedup_native").start()
-            q.processAllAvailable(); q.stop()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+            try q.processAllAvailable() finally {
+              q.stop()
+              org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+            }
           }
         }
       }
@@ -1160,9 +1172,12 @@ object SparkEntry {
          |best AS (
          |  SELECT doc_id, lang, hits,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
-         |  FROM unp)
-         |SELECT doc_id, CASE WHEN hits >= 2 THEN lang ELSE 'und' END AS lang_pred
-         |FROM best WHERE rn = 1""".stripMargin
+         |  FROM unp),
+         |pred AS (
+         |  SELECT doc_id, CASE WHEN hits >= 2 THEN lang ELSE 'und' END AS lang_pred
+         |  FROM best WHERE rn = 1)
+         |SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred
+         |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id""".stripMargin
     },
 
     "x2_text_stats" ->
@@ -1207,9 +1222,13 @@ object SparkEntry {
          |pred AS (
          |  SELECT doc_id, CASE WHEN hits >= 2 THEN lang ELSE 'und' END AS lang_pred
          |  FROM best WHERE rn = 1)
-         |SELECT doc_id, lang_pred FROM pred
-         |WHERE CAST((doc_id * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0
-         |  < CASE lang_pred WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""".stripMargin
+         |SELECT d.doc_id,
+         |  coalesce(p.lang_pred, 'und') AS lang_pred
+         |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+         |WHERE CAST((((d.doc_id % 2147483648 + 2147483648) % 2147483648)
+         |    * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0
+         |  < CASE coalesce(p.lang_pred, 'und')
+         |      WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""".stripMargin
     },
 
     // deterministic-formula oracle: the quality score ported term-by-term to

@@ -14,15 +14,22 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Map an id to a deterministic point in [0, 1): Knuth multiplicative
-    * hashing on the low 31 bits (`⌊2^32/φ⌋ = 2654435761`). Exact integer
-    * arithmetic — any engine (the DuckDB oracle included) reproduces the
-    * same sample bit-for-bit, unlike engine-specific string hashes. For
-    * string ids, hash to a number first (e.g. `xxhash64`); the plan shape
-    * is identical, only cross-engine replay is lost.
+    * hashing on the low 31 bits (`⌊2^32/φ⌋ = 2654435761`). The id is
+    * reduced mod 2^31 BEFORE the multiply, so the product stays ≤ 2^62.3 —
+    * inside 64-bit range for every engine (DuckDB raises on BIGINT
+    * overflow rather than wrapping like Spark) — and `pmod` keeps negative
+    * ids on the same non-negative residue an engine with sign-following
+    * `%` reproduces via `((id % m) + m) % m`. Exact integer arithmetic —
+    * any engine (the DuckDB oracle included) replays the same sample
+    * bit-for-bit, unlike engine-specific string hashes. For string ids,
+    * hash to a number first (e.g. `xxhash64`); the plan shape is
+    * identical, only cross-engine replay is lost.
     */
-  def hashUnit(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(1L << 31)).cast("double") /
-      lit((1L << 31).toDouble)
+  def hashUnit(id: Column): Column = {
+    val m = 1L << 31
+    pmod(pmod(id.cast("long"), lit(m)) * lit(2654435761L), lit(m)).cast("double") /
+      lit(m.toDouble)
+  }
 
   /** Per-stratum Bernoulli sampling at stratum-specific rates: keep a row
     * iff `hashUnit(id) < rate(stratum)`. Rates compile to a plan-time CASE

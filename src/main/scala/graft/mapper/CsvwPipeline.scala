@@ -59,7 +59,9 @@ object CsvwPipeline {
     /** Per-severity counts — the reference's `log_statistics[:error]` gate
       * (`reader.rb:440-443`). Triggers a count job on the error side-output.
       */
-    def severityCounts: Map[String, Long] = Map(
+    // lazy val: each violation count is a Spark job re-running the full
+    // validation join — raiseOnErrors + a metrics sink must not pay twice
+    lazy val severityCounts: Map[String, Long] = Map(
       "metadata_warning" -> metadata.warnings.size.toLong,
       "metadata_error" -> metadata.errors.size.toLong,
       "cell_error" -> cellErrors.count(),

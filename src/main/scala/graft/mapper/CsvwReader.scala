@@ -53,24 +53,25 @@ object CsvwReader {
            minimal: Boolean = false, validate: Boolean = false,
            userMetadata: Option[String] = None): Opened = {
     val p = Paths.get(path)
+    // getParent is null for a bare relative filename — resolve from cwd
+    val metaDir = Option(p.getParent).getOrElse(Paths.get("."))
     val lower = path.toLowerCase
     if (lower.endsWith(".json")) {
       // entry 1: a metadata document names its tables (reader.rb:127-141)
       val json = new String(Files.readAllBytes(p), "UTF-8")
       val raw = CsvwJson.parseTableGroup(json)
-      openGroup(spark, raw.rebase(baseUrl), p.getParent, baseUrl, minimal,
+      openGroup(spark, raw.rebase(baseUrl), metaDir, baseUrl, minimal,
         validate, metadataJson = Some(json), fragments = Map.empty)
     } else if (lower.endsWith(".html") || lower.endsWith(".htm")) {
       // entry 2: an HTML document carries csvm+json script metadata; tables
       // are either fragments of the document or external CSV references
       val doc = HtmlTableSource.readDocument(spark, path, baseUrl)
-      openGroup(spark, doc.group, p.getParent, baseUrl, minimal,
+      openGroup(spark, doc.group, metaDir, baseUrl, minimal,
         validate, metadataJson = None, fragments = doc.fragmentTables)
     } else {
       // entry 3: a tabular file; metadata found by discovery precedence or
       // synthesized (reader.rb via metadata.rb:180-251 for_input)
       val raw = CsvwDiscover.forInput(path, userMetadata)
-      val metaDir = Option(p.getParent).getOrElse(Paths.get("."))
       // a synthesized group's table url is the local path — that becomes
       // the caller's base IRI, exactly as the reference derives the table
       // url from the request url

@@ -336,29 +336,27 @@ object JsonOutput {
       }
       mapper.writeValueAsString(arr)
     } else {
+      // notes is always an array (reader.rb:474-475); same rule at group
+      // and table level
+      def putCommon(node: ObjectNode, common: Seq[(String, String)]): Unit =
+        common.foreach { case (k, raw) =>
+          val v = compactCommon(mapper, mapper.readTree(raw))
+          val wrapped =
+            if (k == "notes" && !v.isArray) { val a = mapper.createArrayNode(); a.add(v); a }
+            else v
+          node.set[JsonNode](k, wrapped)
+        }
       val root = mapper.createObjectNode()
       group.id.foreach(root.put("@id", _))
-      group.common.foreach { case (k, raw) =>
-        val v = compactCommon(mapper, mapper.readTree(raw))
-        val wrapped = // notes is always an array (reader.rb:474-475)
-          if (k == "notes" && !v.isArray) { val a = mapper.createArrayNode(); a.add(v); a }
-          else v
-        root.set[JsonNode](k, wrapped)
-      }
+      putCommon(root, group.common)
       val tablesArr = root.putArray("tables")
       parts.foreach { case (tm, rt, described) =>
         val tNode = tablesArr.addObject()
         tm.id.foreach(tNode.put("@id", _))
         tNode.put("url", rt.url)
-        tm.common.foreach { case (k, raw) =>
-          val v = compactCommon(mapper, mapper.readTree(raw))
-          val wrapped =
-            if (k == "notes" && !v.isArray) { val a = mapper.createArrayNode(); a.add(v); a }
-            else v
-          tNode.set[JsonNode](k, wrapped)
-        }
+        putCommon(tNode, tm.common)
         val rowArr = tNode.putArray("row")
-        described.select(col("json"), col("__rn"), col("__src"))
+        described.select(col("json"), col("__rn"))
           .collect().sortBy(_.getLong(1))
           .foreach(r => rowArr.add(mapper.readTree(r.getString(0))))
       }

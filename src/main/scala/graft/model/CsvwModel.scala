@@ -151,12 +151,21 @@ final case class TableGroupMeta(
     * Template properties (aboutUrl/valueUrl/propertyUrl) are NOT rebased
     * here — they resolve against the table url at expansion time.
     */
-  def rebase(base: String): TableGroupMeta =
-    copy(tables = tables.map(t => t.copy(
-      url = Iri.resolve(base, t.url),
-      tableSchema = t.tableSchema.map(s => s.copy(
-        foreignKeys = s.foreignKeys.map(fk =>
-          fk.copy(resource = Iri.resolve(base, fk.resource))))))))
+  def rebase(base: String): TableGroupMeta = {
+    // `@id` is a link property like url: relative ids resolve against the
+    // document base (`metadata.rb:553-564` normalize); blank-node labels
+    // pass through untouched
+    def rebaseId(id: Option[String]): Option[String] =
+      id.map(i => if (i.startsWith("_:")) i else Iri.resolve(base, i))
+    copy(
+      id = rebaseId(id),
+      tables = tables.map(t => t.copy(
+        url = Iri.resolve(base, t.url),
+        id = rebaseId(t.id),
+        tableSchema = t.tableSchema.map(s => s.copy(
+          foreignKeys = s.foreignKeys.map(fk =>
+            fk.copy(resource = Iri.resolve(base, fk.resource))))))))
+  }
 }
 
 // ---------------------------------------------------------------------------

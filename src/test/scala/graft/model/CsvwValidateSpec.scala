@@ -243,6 +243,17 @@ class CsvwValidateSpec extends AnyFunSuite {
     assert(t.columns(1).name == "Deutsch")
   }
 
+  test("rebase resolves relative @id like other link properties; bnode labels pass") {
+    val meta = """{"@id": "group-1", "tables": [
+      {"@id": "my-table", "url": "t.csv"},
+      {"@id": "_:b0", "url": "u.csv"}]}"""
+    val tg = CsvwJson.parseTableGroup(meta).rebase("http://example.org/meta.json")
+    assert(tg.id.contains("http://example.org/group-1"))
+    assert(tg.tables.head.id.contains("http://example.org/my-table"))
+    assert(tg.tables.head.url == "http://example.org/t.csv")
+    assert(tg.tables(1).id.contains("_:b0"))
+  }
+
   // ---- transformations (metadata.rb:1663-1693; metadata_spec.rb:653-657)
 
   test("transformations parse into the model at group and table level") {
