@@ -151,7 +151,7 @@ object TranscriptStream {
             state.update(maxEv)
             // setTimeoutTimestamp must stay ahead of the current watermark
             state.setTimeoutTimestamp(
-              math.max(maxEv + ttlMs, state.getCurrentWatermarkMs + 1))
+              math.max(maxEv + ttlMs, state.getCurrentWatermarkMs() + 1))
             if (firstSeen) Iterator.single(key) else Iterator.empty
           }
       }
