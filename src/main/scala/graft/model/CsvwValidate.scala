@@ -55,6 +55,7 @@ object CsvwValidate {
         .flatMap(_.elements().asScala.toList)
       val base =
         unexpectedKeys("TableGroup", root, TableGroupKeys) ++
+        typeWarnings("TableGroup", root) ++
         (if (tables.isEmpty) Report(Nil, List("TableGroup has invalid property 'tables': must not be empty"))
          else Report.empty)
       val withTx = base ++ validateTransformations(root)
@@ -67,11 +68,12 @@ object CsvwValidate {
   }
 
   private def validateTable(t: JsonNode, allTables: List[JsonNode]): Report = {
-    var r = unexpectedKeys("Table", t, TableKeys)
+    var r = unexpectedKeys("Table", t, TableKeys) ++ typeWarnings("Table", t)
     if (!t.has("url"))
       r = r ++ Report(Nil, List("Table missing required keys: url"))
     Option(t.get("dialect")).foreach { d =>
-      if (d.isObject) r = r ++ unexpectedKeys("Dialect", d, DialectKeys)
+      if (d.isObject)
+        r = r ++ unexpectedKeys("Dialect", d, DialectKeys) ++ typeWarnings("Dialect", d)
     }
     Option(t.get("tableSchema")).foreach { s => r = r ++ validateSchema(s, allTables) }
     r ++ validateTransformations(t)
@@ -111,7 +113,7 @@ object CsvwValidate {
   }
 
   private def validateSchema(s: JsonNode, allTables: List[JsonNode]): Report = {
-    var r = unexpectedKeys("Schema", s, SchemaKeys)
+    var r = unexpectedKeys("Schema", s, SchemaKeys) ++ typeWarnings("Schema", s)
     val cols = Option(s.get("columns")).map(_.elements().asScala.toList).getOrElse(Nil)
 
     // unique names (metadata.rb:604-605)
@@ -175,7 +177,7 @@ object CsvwValidate {
   }
 
   private def validateColumn(c: JsonNode): Report = {
-    var r = unexpectedKeys("Column", c, ColumnKeys)
+    var r = unexpectedKeys("Column", c, ColumnKeys) ++ typeWarnings("Column", c)
     // @id must not be a blank node (metadata.rb:800-803)
     Option(c.get("@id")).filter(_.isTextual).map(_.asText()).foreach { id =>
       if (id.startsWith("_:"))
@@ -379,6 +381,65 @@ object CsvwValidate {
 
   private def optIntOf(n: JsonNode, f: String): Option[Int] =
     Option(n.get(f)).filter(_.isNumber).map(_.asInt())
+
+  // wrong-typed KNOWN properties warn and are ignored (`metadata.rb:1211-1223`
+  // set_property: "#{type} has invalid property '#{key}' (...): expected ...");
+  // the parser side already ignores them, this surfaces the warning
+  private val Bool = (n: JsonNode) => n.isBoolean
+  private val NonNegInt = (n: JsonNode) => n.isIntegralNumber && n.asLong() >= 0
+  private val Str = (n: JsonNode) => n.isTextual
+  private val StrOrArray = (n: JsonNode) => n.isTextual || n.isArray
+  private val NaturalLang = (n: JsonNode) => n.isTextual || n.isArray || n.isObject
+  private val typeSpecs: Map[String, Map[String, (JsonNode => Boolean, String)]] = Map(
+    "TableGroup" -> Map(
+      "tableDirection" -> ((n: JsonNode) => n.isTextual && Set("ltr", "rtl", "auto")(n.asText()), "ltr, rtl or auto")),
+    "Table" -> Map(
+      "url" -> (Str, "a string"),
+      "suppressOutput" -> (Bool, "a boolean"),
+      "tableDirection" -> ((n: JsonNode) => n.isTextual && Set("ltr", "rtl", "auto")(n.asText()), "ltr, rtl or auto")),
+    "Schema" -> Map(
+      "primaryKey" -> (StrOrArray, "a column reference"),
+      "rowTitles" -> (StrOrArray, "a column reference")),
+    "Column" -> Map(
+      "name" -> (Str, "a string"),
+      "titles" -> (NaturalLang, "a string, array or language map"),
+      "virtual" -> (Bool, "a boolean"),
+      "suppressOutput" -> (Bool, "a boolean"),
+      "required" -> (Bool, "a boolean"),
+      "ordered" -> (Bool, "a boolean"),
+      "separator" -> (Str, "a string"),
+      "default" -> (Str, "a string"),
+      "lang" -> (Str, "a language tag"),
+      "null" -> (StrOrArray, "a string or array"),
+      "aboutUrl" -> (Str, "a URI template"),
+      "propertyUrl" -> (Str, "a URI template"),
+      "valueUrl" -> (Str, "a URI template")),
+    "Dialect" -> Map(
+      "delimiter" -> (Str, "a string"),
+      "quoteChar" -> ((n: JsonNode) => n.isTextual || n.isNull, "a string or null"),
+      "commentPrefix" -> (Str, "a string"),
+      "encoding" -> (Str, "a string"),
+      "doubleQuote" -> (Bool, "a boolean"),
+      "header" -> (Bool, "a boolean"),
+      "skipBlankRows" -> (Bool, "a boolean"),
+      "skipInitialSpace" -> (Bool, "a boolean"),
+      "skipRows" -> (NonNegInt, "a non-negative integer"),
+      "skipColumns" -> (NonNegInt, "a non-negative integer"),
+      "headerRowCount" -> (NonNegInt, "a non-negative integer"),
+      "lineTerminators" -> (StrOrArray, "a string or array"),
+      "trim" -> ((n: JsonNode) => n.isBoolean ||
+        (n.isTextual && Set("true", "false", "start", "end")(n.asText())), "true, false, start or end")))
+
+  private def typeWarnings(kind: String, n: JsonNode): Report = {
+    val spec = typeSpecs.getOrElse(kind, Map.empty)
+    val bad = keysOf(n).flatMap { k =>
+      spec.get(k).collect {
+        case (ok, expected) if !ok(n.get(k)) =>
+          s"$kind has invalid property '$k' (${n.get(k)}): expected $expected"
+      }
+    }
+    Report(bad, Nil)
+  }
 
   /** Unknown-property check (`metadata.rb:585-588`): keys outside the
     * object's vocabulary that are not common properties (`prefix:name`) or

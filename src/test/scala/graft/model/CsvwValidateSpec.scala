@@ -243,6 +243,26 @@ class CsvwValidateSpec extends AnyFunSuite {
     assert(t.columns(1).name == "Deutsch")
   }
 
+  test("wrong-typed known properties warn and are ignored (metadata.rb:1211-1223)") {
+    // cases mirror metadata_spec.rb's per-property warning rows
+    val r = CsvwValidate.validate("""{"url": "http://e/t",
+      "suppressOutput": "foo",
+      "dialect": {"skipRows": -1, "delimiter": 1, "trim": "sideways"},
+      "tableSchema": {"columns": [
+        {"name": "a", "virtual": "yes", "titles": 1, "null": true}]}}""")
+    assert(r.ok, r) // warnings only — processing continues with defaults
+    Seq("'suppressOutput'", "'skipRows'", "'delimiter'", "'trim'",
+        "'virtual'", "'titles'", "'null'").foreach { k =>
+      assert(r.warnings.exists(w => w.contains("invalid property") && w.contains(k)),
+        s"missing warning for $k in ${r.warnings}")
+    }
+    // correctly-typed values stay silent
+    val ok = CsvwValidate.validate("""{"url": "http://e/t", "suppressOutput": true,
+      "dialect": {"skipRows": 1, "delimiter": ";", "trim": "start"},
+      "tableSchema": {"columns": [{"name": "a", "titles": {"en": ["A"]}}]}}""")
+    assert(ok.ok && ok.warnings.isEmpty, ok)
+  }
+
   test("rebase resolves relative @id like other link properties; bnode labels pass") {
     val meta = """{"@id": "group-1", "tables": [
       {"@id": "my-table", "url": "t.csv"},
