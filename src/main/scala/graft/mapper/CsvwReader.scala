@@ -92,6 +92,12 @@ object CsvwReader {
   private def localFor(metaDir: Path, baseDir: String, tableUrl: String): Path = {
     val noFrag = tableUrl.takeWhile(_ != '#')
     val rel = if (noFrag.startsWith(baseDir)) noFrag.substring(baseDir.length) else noFrag
+    // an absolute URL outside the base directory (different origin/prefix)
+    // has no local file to serve it — fail with the actual reason instead
+    // of a NoSuchFileException on a mangled relative path downstream
+    if (rel.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"))
+      throw new IllegalArgumentException(
+        s"remote table url outside the metadata base is out of scope: $noFrag (base $baseDir)")
     metaDir.resolve(rel)
   }
 
@@ -112,7 +118,10 @@ object CsvwReader {
           val local = localFor(metaDir, baseDir, ref)
           val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
             new String(Files.readAllBytes(local), "UTF-8"))
-          t.copy(tableSchema = Some(CsvwJson.schemaFrom(node)))
+          // the fetched schema document carries its own JSON-LD context;
+          // its @language tags the bare titles it declares
+          t.copy(tableSchema = Some(CsvwJson.schemaFrom(node,
+            CsvwJson.contextLanguage(node).getOrElse("und"))))
         case _ => t
       }
     }).rebase(baseUrl) // re-resolve FK resources the fetched schemas added

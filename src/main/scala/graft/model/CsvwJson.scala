@@ -20,19 +20,23 @@ object CsvwJson {
   def fromNode(n: JsonNode): TableGroupMeta = {
     val tpe = optText(n, "@type")
     val ctxLang = contextLanguage(n)
+    // the context @language applies to natural-language properties parsed
+    // anywhere in this document (reference normalize!/set_nl), so it is the
+    // default tag for bare (string/array) titles below
+    val dl = ctxLang.getOrElse("und")
     if (n.has("tables") || tpe.contains("TableGroup")) {
       TableGroupMeta(
-        tables = n.get("tables").elements().asScala.map(tableFrom).toList,
+        tables = n.get("tables").elements().asScala.map(tableFrom(_, dl)).toList,
         dialect = Option(n.get("dialect")).map(dialectFrom),
         id = optText(n, "@id"),
         inherited = inheritedFrom(n),
         common = commonFrom(n),
-        transformations = transformationsFrom(n),
+        transformations = transformationsFrom(n, dl),
         contextLang = ctxLang)
     } else if (n.has("url") || tpe.contains("Table")) {
-      TableGroupMeta(tables = List(tableFrom(n)), contextLang = ctxLang)
+      TableGroupMeta(tables = List(tableFrom(n, dl)), contextLang = ctxLang)
     } else if (n.has("columns") || tpe.contains("Schema")) {
-      TableGroupMeta(tables = List(TableMeta(url = "", tableSchema = Some(schemaFrom(n)))),
+      TableGroupMeta(tables = List(TableMeta(url = "", tableSchema = Some(schemaFrom(n, dl)))),
         contextLang = ctxLang)
     } else throw new IllegalArgumentException("unrecognized CSVW metadata document")
   }
@@ -48,9 +52,9 @@ object CsvwJson {
       objs.filter(_.isObject).flatMap(o => optText(o, "@language"))
     }.headOption
 
-  def tableFrom(n: JsonNode): TableMeta = TableMeta(
+  def tableFrom(n: JsonNode, dl: String = "und"): TableMeta = TableMeta(
     url = optText(n, "url").getOrElse(""),
-    tableSchema = Option(n.get("tableSchema")).filter(_.isObject).map(schemaFrom),
+    tableSchema = Option(n.get("tableSchema")).filter(_.isObject).map(schemaFrom(_, dl)),
     schemaRef = optText(n, "tableSchema"),
     suppressOutput = optBool(n, "suppressOutput").getOrElse(false),
     dialect = Option(n.get("dialect")).map(dialectFrom),
@@ -58,14 +62,14 @@ object CsvwJson {
     id = optText(n, "@id"),
     inherited = inheritedFrom(n),
     common = commonFrom(n),
-    transformations = transformationsFrom(n))
+    transformations = transformationsFrom(n, dl))
 
   /** `transformations` array → Template metadata objects
     * (`metadata.rb:1663-1672` PROPERTIES). Parsed, validated, surfaced —
     * never executed (parity with the reference, which yields them as
     * metadata without running scripts).
     */
-  def transformationsFrom(n: JsonNode): List[TransformationMeta] =
+  def transformationsFrom(n: JsonNode, dl: String = "und"): List[TransformationMeta] =
     Option(n.get("transformations")).filter(_.isArray).toList
       .flatMap(_.elements().asScala)
       .map(t => TransformationMeta(
@@ -73,7 +77,7 @@ object CsvwJson {
         targetFormat = optText(t, "targetFormat"),
         scriptFormat = optText(t, "scriptFormat"),
         source = optText(t, "source"),
-        titles = Option(t.get("titles")).map(titleStrings).getOrElse(Nil),
+        titles = Option(t.get("titles")).map(titleStrings(_, dl)).getOrElse(Nil),
         id = optText(t, "@id")))
 
   /** Common properties: any key containing ':' plus `notes`
@@ -83,18 +87,18 @@ object CsvwJson {
       .filter(e => e.getKey.contains(":") || e.getKey == "notes")
       .map(e => e.getKey -> e.getValue.toString)
 
-  def schemaFrom(n: JsonNode): SchemaMeta = SchemaMeta(
+  def schemaFrom(n: JsonNode, dl: String = "und"): SchemaMeta = SchemaMeta(
     columns = Option(n.get("columns"))
-      .map(_.elements().asScala.map(columnFrom).toList).getOrElse(Nil),
+      .map(_.elements().asScala.map(columnFrom(_, dl)).toList).getOrElse(Nil),
     primaryKey = Option(n.get("primaryKey")).map(strings).getOrElse(Nil),
     foreignKeys = Option(n.get("foreignKeys"))
       .map(_.elements().asScala.map(fkFrom).toList).getOrElse(Nil),
     rowTitles = Option(n.get("rowTitles")).map(strings).getOrElse(Nil),
     inherited = inheritedFrom(n))
 
-  def columnFrom(n: JsonNode): ColumnMeta = ColumnMeta(
+  def columnFrom(n: JsonNode, dl: String = "und"): ColumnMeta = ColumnMeta(
     name = optText(n, "name"),
-    titles = Option(n.get("titles")).map(titleStrings).getOrElse(Nil),
+    titles = Option(n.get("titles")).map(titleStrings(_, dl)).getOrElse(Nil),
     virtual = optBool(n, "virtual").getOrElse(false),
     suppressOutput = optBool(n, "suppressOutput").getOrElse(false),
     inherited = inheritedFrom(n))
@@ -175,11 +179,14 @@ object CsvwJson {
     else Nil
 
   /** titles may be a string, array, or language map (`metadata.rb:1138-1139`);
-    * normalized to ordered (lang, title) pairs with "und" for untagged.
+    * normalized to ordered (lang, title) pairs. Bare (string / array) titles
+    * take the document's context @language (`dl`), "und" when none — the
+    * reference's normalize!/set_nl applies the context default to every
+    * natural-language property; language-map keys are always explicit.
     */
-  private def titleStrings(n: JsonNode): List[(String, String)] =
-    if (n.isTextual) List("und" -> n.asText())
-    else if (n.isArray) n.elements().asScala.filter(_.isTextual).map("und" -> _.asText()).toList
+  private def titleStrings(n: JsonNode, dl: String = "und"): List[(String, String)] =
+    if (n.isTextual) List(dl -> n.asText())
+    else if (n.isArray) n.elements().asScala.filter(_.isTextual).map(dl -> _.asText()).toList
     else if (n.isObject) n.properties().asScala.toList
       .flatMap(e => strings(e.getValue).map(e.getKey -> _))
     else Nil

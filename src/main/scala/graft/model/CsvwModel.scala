@@ -229,12 +229,18 @@ object Resolve {
     * BEFORE `titles['und']`, so a column carrying both resolves to the
     * language-tagged title.
     */
-  def columnName(c: ColumnMeta, number: Int, colLang: String = "und"): String =
+  def columnName(c: ColumnMeta, number: Int, colLang: String = "und",
+                 contextLang: Option[String] = None): String =
     c.name
       .orElse {
-        val und = c.titles.collect { case ("und", t) => t }
-        val byLang = c.titles.collect { case (l, t) if l == colLang => t }
-        (byLang ++ und).headOption.map(Iri.encodeColumnName)
+        // metadata.rb:1630: titles[context.default_language || 'und'] ||
+        // titles[self.lang || 'und'] — context bucket first, then the
+        // column's declared language, each falling back to the und bucket
+        val langs = List(contextLang.getOrElse("und"), colLang).distinct
+        langs.iterator
+          .map(l => c.titles.collect { case (`l`, t) => t })
+          .find(_.nonEmpty).flatMap(_.headOption)
+          .map(Iri.encodeColumnName)
       }
       .getOrElse(s"_col.$number")
 
@@ -275,7 +281,9 @@ object Resolve {
       val regexFormat =
         if (!isNumeric && !isDate && base != "boolean") fmt.flatMap(_.pattern) else None
       ResolvedColumn(
-        name = columnName(c, number, inh.lang.getOrElse("und")),
+        // name lookup checks the context default language (which also tags
+        // bare titles at parse time) before the column's declared lang
+        name = columnName(c, number, inh.lang.getOrElse("und"), tg.contextLang),
         number = number,
         sourceNumber = number + skip,
         datatypeBase = base,

@@ -62,8 +62,13 @@ object HtmlTableSource {
     var dataRows0 = List.empty[List[String]]
     trs.foreach { tr =>
       val cells = CellRe.findAllMatchIn(tr).map(m => (m.group(1).toLowerCase, cellText(m.group(2)))).toList
-      if (cells.exists(_._1 == "h")) headerRows :+= cells.filter(_._1 == "h").map(_._2)
-      else if (cells.nonEmpty) dataRows0 :+= cells.map(_._2)
+      // th cells contribute header titles AND td cells contribute a data row
+      // independently: the reference collects row.xpath('th') and
+      // row.xpath('td') separately (`metadata.rb:876-885`), so a mixed
+      // th/td <tr> (row-label tables) produces both
+      val (ths, tds) = cells.partition(_._1 == "h")
+      if (ths.nonEmpty) headerRows :+= ths.map(_._2)
+      if (tds.nonEmpty) dataRows0 :+= tds.map(_._2)
     }
     // Row numbering matches the reference's HTML leg (`metadata.rb:876-885`):
     // its pre-scan advances `number` once per <tr> — header or not (the

@@ -71,18 +71,26 @@ class CsvwModelSpec extends AnyFunSuite {
     assert(t.columns(2).name == "explicit")
   }
 
-  test("column name prefers the declared-language title over 'und'") {
-    // metadata.rb name: titles[context.default_language] is checked BEFORE
-    // titles['und'] — a column with both resolves to the language-tagged one
+  test("column name bucket order: context default language, then declared lang") {
+    // metadata.rb:1630: titles[context.default_language || 'und'] ||
+    // titles[self.lang || 'und'] — with NO context @language the FIRST
+    // lookup is the 'und' bucket, so it wins even over a declared lang;
+    // with a context @language that bucket is checked first
     val json = """{
       "url": "http://e/t.csv",
       "tableSchema": {"columns": [
         {"lang": "en", "titles": {"und": "staat", "en": "country"}},
         {"titles": {"und": "staat", "en": "country"}}]}}"""
     val t = Resolve.group(CsvwJson.parseTableGroup(json)).head
-    assert(t.columns(0).name == "country")
-    // no declared language → 'und' wins
+    assert(t.columns(0).name == "staat")
     assert(t.columns(1).name == "staat")
+    val withCtx = """{
+      "@context": ["http://www.w3.org/ns/csvw", {"@language": "en"}],
+      "url": "http://e/t.csv",
+      "tableSchema": {"columns": [
+        {"titles": {"und": "staat", "en": "country"}}]}}"""
+    val t2 = Resolve.group(CsvwJson.parseTableGroup(withCtx)).head
+    assert(t2.columns(0).name == "country")
   }
 
   test("dialect dynamic defaults: headerRowCount and trim") {

@@ -43,6 +43,20 @@ class HtmlTableSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed th/td rows contribute both header titles and a data row") {
+    // row-label tables: the reference collects row.xpath('td') as data
+    // whenever td cells exist, independent of th cells (metadata.rb:878-881)
+    val html = """<table>
+      <tr><th>k</th><th>v</th></tr>
+      <tr><th>row1</th><td>a</td><td>1</td></tr>
+      <tr><th>row2</th><td>b</td><td>2</td></tr>
+    </table>"""
+    val (titles, rows) = HtmlTableSource.extract(html, None)
+    assert(rows.map(_._2) == List(List("a", "1"), List("b", "2")))
+    // the th cells of the mixed rows still land in the header pool
+    assert(titles.head.contains("k") && titles.head.contains("row1"))
+  }
+
   test("readTable produces readExact-shaped rows with logical/source numbering") {
     val tmp = java.nio.file.Files.createTempFile("graft_html_spec", ".html")
     java.nio.file.Files.writeString(tmp, countriesHtml)
