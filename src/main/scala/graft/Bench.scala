@@ -1,32 +1,63 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
 
 /** Benchmark main. Two parts:
   *
   * 1. Headline per-query timings on `SPARK_GRAFT_SF_DIR` at
   *    `local[SPARK_GRAFT_CPUS]` (driver contract: one JSON line).
   * 2. Scaling run (BASELINE.md): the flagship transcript→triples→dedup
-  *    pipeline over a deterministic synthetic corpus, executed at local[8]
-  *    and local[32] on the *same* materialized input; reports triples/sec
-  *    at both and efficiency = (tp_4N / tp_N) / 4. Written to
-  *    `BENCH/BASELINE.md` when `GRAFT_BENCH_SCALING=1`.
+  *    pipeline over a deterministic synthetic corpus, executed at N and 4N
+  *    cores on the *same* materialized input; reports triples/sec at both
+  *    and efficiency = (tp_4N / tp_N) / 4.
+  *
+  * The whole main runs under a wall-clock budget (`GRAFT_BENCH_BUDGET_SECS`,
+  * default 900): headline reps degrade to 1 and then stop when the budget
+  * tightens, the scaling block runs only as many interleaved pairs as fit,
+  * and a watchdog thread guarantees the contract JSON line (with whatever
+  * completed) is printed and the process exits 0 even if a query hangs —
+  * a partial result beats a timeout with no result.
+  *
+  * Scaling pairs are window-classified by rule (the VM host has three
+  * documented noise modes — spiky steal, sustained co-tenant contention,
+  * burst-credit throttle ramp): a pair is `contaminated` when its
+  * efficiency is super-unity, `throttled` when its hi-config wall ramps
+  * ≥20% over the run's best, `contended` when its lo-config wall is ≥15%
+  * over the run's best, else `quiet`. The headline efficiency is the
+  * median over QUIET pairs only; runs with too few quiet pairs are marked
+  * degraded instead of silently reporting a host-noise number.
   */
 object Bench {
 
+  /** Every SparkEntry query, slowest/most-important families first and the
+    * (window-sensitive, slowest) streaming queries last so a tight budget
+    * trims from the cheap tail, not the flagship.
+    */
   private val headline = Seq(
     "t1_triples_minimal", "t2_rdf_list", "t3_triples_standard",
     "g1_graph_materialize",
     "q1_agg", "q2_join_broadcast", "q3_window", "q4_sort_limit", "k1_salted_agg",
     "j3_entity_link", "j4_connected_components",
     "d1_dedup_exact", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
-    "d5_embedding_dup",
+    "d4_jaccard_capped", "d5_embedding_dup",
     "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf", "s7_json_minimal", "x5_token_bpe",
     "m2_frame_sample",
-    "x1_lang_id", "x3_quality_score", "x4_fingerprint",
+    "x1_lang_id", "x2_text_stats", "x3_quality_score", "x4_fingerprint",
+    "x6_stratified_sample",
     "w1_turn_order", "m1_multimodal_decode",
+    // CSVW mapping/validation/source family (cheap, config-scale fixtures)
+    "a1_pk_duplicates", "a2_fk_dup_targets", "a3_comment_rows",
+    "j1_fk_violations", "j2_fk_routing",
+    "f2_datatype_facets", "f3_uax35_number", "f4_uax35_date",
+    "f5_boolean_format", "f6_regex_format", "f7_length_facets",
+    "f9_uri_template", "f10_column_name_encode", "f11_json_literal",
+    "p1_skip_columns", "p3_suppress_table", "w2_column_numbering",
+    "s2_html_table", "s3_csv_dialect", "s4_discovery",
+    "s5_metadata_resolve", "s5_compat_report",
+    "t4_common_properties", "t5_provenance", "r1_reader_open",
+    "v1_turn_invariant",
     "str1_stream_counts", "str2_stream_dedup", "str3_stream_dedup_native")
 
   private def session(cores: Int): SparkSession = {
@@ -97,57 +128,181 @@ object Bench {
     (parts(1).toLong, parts(2).toDouble)
   }
 
+  private def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+  /** One scaling sample pair with its rule-based window tag. */
+  private final case class Pair(lo: Double, hi: Double) {
+    def eff(ratio: Double): Double = (lo / hi) / ratio
+  }
+
+  /** Rule-based window classification (BENCH/BASELINE.md measurement
+    * history): super-unity efficiency ⇒ the lo leg was host-hit
+    * (contaminated); hi wall ≥20% over the run's best hi ⇒ burst-credit
+    * throttle ramp; lo wall ≥15% over the run's best lo ⇒ contended.
+    */
+  private def classify(pairs: Seq[Pair], ratio: Double): Seq[String] = {
+    if (pairs.isEmpty) return Nil
+    val minLo = pairs.map(_.lo).min
+    val minHi = pairs.map(_.hi).min
+    pairs.map { p =>
+      if (p.eff(ratio) > 1.0) "contaminated"
+      else if (p.hi > 1.20 * minHi) "throttled"
+      else if (p.lo > 1.15 * minLo) "contended"
+      else "quiet"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     // window-quality telemetry: ambient load sampled FIRST — after the
     // headline suite or the corpus burst the 1-min average would report our
     // own CPU burn as host contention
     val loadBefore =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+")(0).toDouble
+      try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
       catch { case _: Exception => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // scaling evidence runs by default (the judge reads it from BENCH json);
-    // opt out with GRAFT_BENCH_SCALING=0
     val doScaling = !sys.env.get("GRAFT_BENCH_SCALING").contains("0")
+    val doHeadline = !sys.env.get("GRAFT_BENCH_HEADLINE").contains("0")
+    val budget = math.max(120,
+      sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "900").toInt)
+    def remaining: Double = budget - elapsed
 
-    // part 1: headline queries (skippable for isolated scaling runs)
-    var spark = session(cpus)
-    val results =
-      if (sys.env.get("GRAFT_BENCH_HEADLINE").contains("0")) Seq.empty[(String, Double)]
-      else {
-        // pre-materialize the streaming fixture so str1 times the stream,
-        // not the one-off input rewrite
-        SparkEntry.streamFixture(spark, sfDir)
-        // per-query MIN over reps: the VM host's noise is one-sided (steal/
-        // IO-wait spikes only ever slow a query down), so the min is the
-        // engine's time and a single host hiccup can't define a number
-        val reps = sys.env.getOrElse("GRAFT_BENCH_HEADLINE_REPS", "2").toInt
-        headline.flatMap { name =>
-          SparkEntry.queries.get(name).map { fn =>
-            val times = (1 to reps).map { _ =>
-              val t0 = System.nanoTime()
-              val ok = try { fn(spark, sfDir).count(); true }
-                       catch { case _: Throwable => false }
-              if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    // previous result read ONCE up front: incremental snapshots overwrite
+    // the file, so partial runs must carry forward the blocks they skip
+    val prevResult = {
+      val p = Paths.get("BENCH/RESULT.json")
+      if (Files.exists(p)) Files.readString(p) else ""
+    }
+    val prevScalingJson = {
+      val i = prevResult.indexOf(",\"scaling\":")
+      if (i >= 0) prevResult.substring(i, prevResult.lastIndexOf('}')) else ""
+    }
+
+    // ---- one-shot contract emission (normal exit OR watchdog) ----------
+    val latest = new AtomicReference[String](
+      if (prevResult.nonEmpty) prevResult.trim
+      else s"""{"metric":"total","value":0.0,"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    val printed = new AtomicBoolean(false)
+    def snapshot(json: String): Unit = {
+      latest.set(json)
+      Files.createDirectories(Paths.get("BENCH"))
+      Files.writeString(Paths.get("BENCH/RESULT.json"), json + "\n")
+    }
+    def emit(): Unit = if (printed.compareAndSet(false, true)) {
+      val json = latest.get
+      Files.createDirectories(Paths.get("BENCH"))
+      Files.writeString(Paths.get("BENCH/RESULT.json"), json + "\n")
+      println(json)
+      System.out.flush()
+    }
+    // Watchdog: if anything hangs past budget + grace, print what we have
+    // and hard-exit 0 — the round-3 driver run timed out (rc 124) with a
+    // fully-computed headline that was never printed. halt() skips Spark's
+    // shutdown hooks deliberately: a wedged streaming query would block a
+    // clean stop() and we are exiting anyway.
+    val grace = 60
+    val watchdog = new Thread(() => {
+      try Thread.sleep((budget + grace) * 1000L)
+      catch { case _: InterruptedException => return }
+      System.err.println(
+        f"[bench] watchdog: budget ${budget}s + ${grace}s grace exceeded " +
+          f"(elapsed $elapsed%.0fs) — emitting partial result")
+      emit()
+      Runtime.getRuntime.halt(0)
+    }, "bench-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
+
+    // ---- part 1: headline queries --------------------------------------
+    val reps = math.max(1,
+      sys.env.getOrElse("GRAFT_BENCH_HEADLINE_REPS", "2").toInt)
+    val only: Option[Set[String]] =
+      sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    var skippedForBudget = List.empty[String]
+    var spark: SparkSession = null
+
+    def buildJson(results: Seq[(String, Double, Double)],
+                  scalingJson: String): String = {
+      val (qs, cold, total) =
+        if (results.isEmpty && !doHeadline) {
+          // headline-skip mode carries the previous headline forward
+          val qi = prevResult.indexOf("\"queries\":")
+          val qj = if (qi >= 0) prevResult.indexOf('}', qi) else -1
+          val vi = prevResult.indexOf("\"value\":")
+          val vj = if (vi >= 0) prevResult.indexOf(',', vi) else -1
+          if (qj >= 0 && vj >= 0)
+            (prevResult.substring(qi + 10, qj + 1), "{}",
+             prevResult.substring(vi + 8, vj).toDouble)
+          else ("{}", "{}", 0.0)
+        } else (
+          results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+            .mkString("{", ",", "}"),
+          results.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
+            .mkString("{", ",", "}"),
+          results.map(_._2).filter(_ >= 0).sum)
+      val skipped =
+        if (skippedForBudget.isEmpty) ""
+        else skippedForBudget.reverse.mkString(",\"skipped_for_budget\":[\"", "\",\"", "\"]")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+        s""""queries_cold":$cold,"reps":$reps,"budget_secs":$budget,""" +
+        s""""elapsed_secs":${f"$elapsed%.1f"},""" +
+        s""""ambient_load_before":${f"$loadBefore%.2f"}$skipped,"sf":"$sfDir"$scalingJson}"""
+    }
+
+    var results = Seq.empty[(String, Double, Double)]
+    if (doHeadline) {
+      spark = session(cpus)
+      // pre-materialize the streaming fixture so str1 times the stream,
+      // not the one-off input rewrite
+      SparkEntry.streamFixture(spark, sfDir)
+      val names = headline.filter(n => only.forall(_.contains(n)))
+      names.foreach { name =>
+        SparkEntry.queries.get(name) match {
+          case None => ()
+          case Some(fn) =>
+            // budget gates: don't start a query with <30s left (the
+            // watchdog still guarantees emission if one hangs); rep 2+
+            // only while comfortably inside budget
+            if (remaining < 30) {
+              skippedForBudget ::= name
+            } else {
+              val effReps = if (remaining < 90) 1 else reps
+              // per-query MIN over reps: the VM host's noise is one-sided
+              // (steal/IO-wait spikes only ever slow a query down), so the
+              // min is the engine's time; the COLD first rep is reported
+              // alongside for cross-round comparability
+              val times = (1 to effReps).map { _ =>
+                val s0 = System.nanoTime()
+                val ok = try { fn(spark, sfDir).count(); true }
+                         catch { case _: Throwable => false }
+                if (ok) (System.nanoTime() - s0) / 1e9 else -1.0
+              }
+              val best = if (times.contains(-1.0)) -1.0 else times.min
+              results :+= ((name, best, times.head))
+              snapshot(buildJson(results, prevScalingJson))
             }
-            name -> (if (times.contains(-1.0)) -1.0 else times.min)
-          }
         }
       }
-
-    // part 2: scaling evidence (N vs 4N executors, same input)
-    // headline-only runs must not clobber the scaling evidence a previous
-    // full run wrote into BENCH/RESULT.json — carry the old block forward
-    var scalingJson = {
-      val prev = Paths.get("BENCH/RESULT.json")
-      if (Files.exists(prev)) {
-        val s = Files.readString(prev)
-        val i = s.indexOf(",\"scaling\":")
-        if (i >= 0) s.substring(i, s.lastIndexOf('}')) else ""
-      } else ""
+      if (skippedForBudget.nonEmpty)
+        System.err.println(s"[bench] budget trimmed ${skippedForBudget.size} " +
+          s"headline queries: ${skippedForBudget.reverse.mkString(", ")}")
     }
-    if (doScaling) {
+    snapshot(buildJson(results, prevScalingJson))
+
+    // ---- part 2: scaling evidence (N vs 4N cores, same input) ----------
+    // estimated costs (measured round 3 on this host): corpus write ~150 s,
+    // one interleaved lo+hi pair ~300 s; refined with live measurements
+    val corpusEstimate = 180.0
+    var pairEstimate = 300.0
+    if (doScaling && spark == null) spark = session(cpus)
+    if (doScaling && remaining > corpusEstimate + pairEstimate * 1.25 + 30) {
       // sized so per-run compute dominates fixed overhead AND host noise:
       // small corpora measured the split planner + scheduling jitter, not
       // the engine (observed efficiency 0.3 at 1M turns vs 0.73 at 12M)
@@ -159,144 +314,190 @@ object Bench {
       graft.sources.TranscriptGen.transcripts(spark, turns)
         .repartition(256)
         .write.mode("overwrite").parquet(corpus)
-      spark.stop()
+      spark.stop(); spark = null
 
       // Default mode is a REAL local cluster (GRAFT_BENCH_MASTER=lc):
       // 1 executor × 4 cores vs 4 executors × 4 cores, each executor its
       // own JVM with its own heap — the faithful N→4N proxy, since a real
       // cluster scales memory and GC capacity with executor count (a single
       // fixed-heap JVM starves per-core memory at the high end). Runs are
-      // interleaved lo/hi and min-filtered because the VM host overcommits
-      // CPU (noise is one-sided); workers warm once so the measurement is
-      // the steady state a long job amortizes to, not JIT/codegen startup.
+      // interleaved lo/hi and window-classified; workers warm once so the
+      // measurement is the steady state a long job amortizes to.
       val master = sys.env.getOrElse("GRAFT_BENCH_MASTER", "lc")
       val Array(loCores, hiCores) =
         sys.env.getOrElse("GRAFT_BENCH_CORES", "4,16").split(",").map(_.trim.toInt)
-      val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "6").toInt
-      val samples: Seq[(Int, (Long, Double))] = (1 to reps).flatMap { _ =>
-        Seq(loCores -> spawnWorker(loCores, corpus), hiCores -> spawnWorker(hiCores, corpus))
+      val ratio = hiCores.toDouble / loCores
+      val maxReps = math.max(1, sys.env.getOrElse("GRAFT_BENCH_REPS", "6").toInt)
+      var samples = Vector.empty[(Int, (Long, Double))]
+      var pairs = Vector.empty[Pair]
+      var rep = 0
+      // run interleaved pairs while they fit the budget; the first pair's
+      // measured cost replaces the estimate for the rest
+      while (rep < maxReps && remaining > pairEstimate * 1.25 + 30) {
+        val p0 = elapsed
+        val lo = spawnWorker(loCores, corpus)
+        val hi = spawnWorker(hiCores, corpus)
+        samples :+= (loCores -> lo); samples :+= (hiCores -> hi)
+        pairs :+= Pair(lo._2, hi._2)
+        pairEstimate = math.max(elapsed - p0, 60.0)
+        rep += 1
       }
-      val (n8, t8) = samples.filter(_._1 == loCores).map(_._2).minBy(_._2)
-      val (n32, t32) = samples.filter(_._1 == hiCores).map(_._2).minBy(_._2)
-      require(n8 == n32, s"scaling runs disagree: $n8 vs $n32")
-      val tp8 = n8 / t8
-      val tp32 = n32 / t32
-      // per-pair efficiencies: each interleaved (lo, hi) pair runs in one
-      // ~4-minute window, so the ratio inside a pair is immune to the
-      // host's slow cross-window throughput drift. The HEADLINE number is
-      // the median of these in-window ratios — the config-wise minima can
-      // land in different noise windows and then over- or under-state the
-      // ratio, so that cross-window value is reported only as a secondary.
-      val pairEffs = samples.grouped(2).collect {
-        case Seq((`loCores`, (_, tl)), (`hiCores`, (_, th))) =>
-          (tl / th) / (hiCores.toDouble / loCores)
-      }.toSeq
-      def median(xs: Seq[Double]): Double =
-        if (xs.isEmpty) 0.0
-        else {
-          val s = xs.sorted
-          if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-        }
-      val eff = median(pairEffs)
-      val effCross = (tp32 / tp8) / (hiCores.toDouble / loCores)
-      // robustness: the conclusion must survive dropping any single pair
-      val effLooMin =
-        if (pairEffs.size > 1)
-          pairEffs.indices.map(i => median(pairEffs.patch(i, Nil, 1))).min
-        else eff
-      val pairEffsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
-      scalingJson =
-        s""","scaling":{"triples":$n32,"turns":$turns,
-           |"cores_lo":$loCores,"cores_hi":$hiCores,"mode":"$master",
-           |"sec_lo":${f"$t8%.2f"},"sec_hi":${f"$t32%.2f"},
-           |"triples_per_sec_lo":${f"$tp8%.0f"},"triples_per_sec_hi":${f"$tp32%.0f"},
-           |"efficiency":${f"$eff%.3f"},"efficiency_pairs":$pairEffsJson,
-           |"efficiency_loo_min":${f"$effLooMin%.3f"},
-           |"efficiency_cross_window":${f"$effCross%.3f"},
-           |"ambient_load_before":${f"$loadBefore%.2f"}}""".stripMargin.replaceAll("\n", "")
+      if (rep < maxReps)
+        System.err.println(s"[bench] budget trimmed scaling to $rep/$maxReps pairs")
 
-      def execs(c: Int) = math.max(c / 4, 1)
-      val cfg = (c: Int) =>
-        if (master == "lc") s"local-cluster[${execs(c)} executors × 4 cores, 4g each]"
-        else s"local[$c]"
-      // doubled leading pipe: stripMargin on the enclosing template treats a
-      // line's first '|' as the margin and would otherwise eat the table border
-      val sampleRows = samples.zipWithIndex.map { case ((c, (_, t)), i) =>
-        s"|| ${i / 2 + 1} | ${cfg(c)} | ${f"$t%.2f"} |"
-      }.mkString("\n")
-      val md =
-        s"""# BENCH scaling evidence (north rule: N → 4N executors)
-           |
-           |Flagship pipeline: transcripts → CSVW triple mapper → two-stage
-           |dedup (map-side partial + final hash aggregate). Same
-           |materialized deterministic input ($turns turns, $n32 distinct
-           |triples) at two cluster sizes: **${cfg(loCores)} vs
-           |${cfg(hiCores)}** — real executor JVMs via Spark's
-           |`local-cluster` master, so each executor brings its own heap and
-           |GC, exactly as 4× executors would on a real cluster. Every
-           |measurement runs in a fresh driver JVM; configurations are
-           |interleaved lo/hi/lo/hi and min-filtered (the VM host
-           |overcommits CPU, so noise is one-sided); each worker warms once
-           |and reports the steady state a long job amortizes to.
-           |
-           || config | wall sec (best) | triples/sec |
-           ||---|---|---|
-           || ${cfg(loCores)} | ${f"$t8%.2f"} | ${f"$tp8%.0f"} |
-           || ${cfg(hiCores)} | ${f"$t32%.2f"} | ${f"$tp32%.0f"} |
-           |
-           |**Scaling efficiency (N → 4N) = ${f"$eff%.3f"}** (target ≥ 0.8),
-           |the MEDIAN of the ${pairEffs.size} per-pair efficiencies — each
-           |interleaved lo/hi pair shares one noise window, so its ratio is
-           |robust to the host's cross-window throughput drift. Pairs:
-           |${pairEffs.map(e => f"$e%.3f").mkString(", ")}.
-           |Leave-one-out robustness: dropping any single pair keeps the
-           |median ≥ ${f"$effLooMin%.3f"}. The config-wise-best (cross-window)
-           |ratio is ${f"$effCross%.3f"}, reported for reference only — its
-           |minima can come from different noise windows.
-           |
-           |All samples (interleaved execution order):
-           |
-           || rep | config | wall sec |
-           ||---|---|---|
-           |$sampleRows
-           |
-           |Round-1 note: the same pipeline measured 0.602 with a
-           |single-JVM `local[4]` vs `local[16]` proxy and a dedup plan
-           |that repartitioned before aggregating. Two changes closed the
-           |gap: (a) the dedup is now a group-only hash aggregate whose
-           |map-side partial dedups before the exchange — the shuffle
-           |carries ~distinct rows instead of every duplicate — and (b) the
-           |N→4N comparison uses real executor JVMs, so the high-end config
-           |isn't starved of per-core heap inside one fixed-size JVM.
-           |""".stripMargin
-      Files.createDirectories(Paths.get("BENCH"))
-      Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
-      spark = session(cpus) // restore for symmetry
+      if (pairs.nonEmpty) {
+        val tags = classify(pairs, ratio)
+        val pairEffs = pairs.map(_.eff(ratio))
+        val quietEffs = pairEffs.zip(tags).collect { case (e, "quiet") => e }
+        // headline = median over rule-selected QUIET pairs; quorum = 2/3 of
+        // attempted pairs (and at least 2) or the run is flagged
+        val quorum = math.max(2, (pairs.size * 2 + 2) / 3)
+        val windowQuality =
+          if (quietEffs.size >= quorum) "ok"
+          else if (quietEffs.nonEmpty) "limited"
+          else "degraded"
+        val eff =
+          if (quietEffs.nonEmpty) median(quietEffs) else median(pairEffs)
+        if (windowQuality != "ok")
+          System.err.println(s"[bench] scaling window $windowQuality: only " +
+            s"${quietEffs.size}/${pairs.size} quiet pairs (tags: ${tags.mkString(",")})")
+        val effLooMin =
+          if (quietEffs.size > 1)
+            quietEffs.indices.map(i => median(quietEffs.patch(i, Nil, 1))).min
+          else eff
+        val (n8, t8) = samples.filter(_._1 == loCores).map(_._2).minBy(_._2)
+        val (n32, t32) = samples.filter(_._1 == hiCores).map(_._2).minBy(_._2)
+        require(n8 == n32, s"scaling runs disagree: $n8 vs $n32")
+        val tp8 = n8 / t8
+        val tp32 = n32 / t32
+        val effCross = (tp32 / tp8) / ratio
+        val pairEffsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
+        val tagsJson = tags.mkString("[\"", "\",\"", "\"]")
+        val scalingJson =
+          s""","scaling":{"triples":$n32,"turns":$turns,
+             |"cores_lo":$loCores,"cores_hi":$hiCores,"mode":"$master",
+             |"sec_lo":${f"$t8%.2f"},"sec_hi":${f"$t32%.2f"},
+             |"triples_per_sec_lo":${f"$tp8%.0f"},"triples_per_sec_hi":${f"$tp32%.0f"},
+             |"efficiency":${f"$eff%.3f"},"efficiency_pairs":$pairEffsJson,
+             |"pair_tags":$tagsJson,"window_quality":"$windowQuality",
+             |"quiet_pairs":${quietEffs.size},
+             |"efficiency_loo_min":${f"$effLooMin%.3f"},
+             |"efficiency_cross_window":${f"$effCross%.3f"},
+             |"ambient_load_before":${f"$loadBefore%.2f"}}""".stripMargin.replaceAll("\n", "")
+        snapshot(buildJson(results, scalingJson))
+        // history line so no BASELINE.md rewrite can lose a measurement
+        Files.createDirectories(Paths.get("BENCH"))
+        Files.writeString(Paths.get("BENCH/HISTORY.jsonl"),
+          s"""{"ts_ms":${System.currentTimeMillis()},"eff":${f"$eff%.3f"},
+             |"pairs":$pairEffsJson,"tags":$tagsJson,"quality":"$windowQuality",
+             |"ambient_load":${f"$loadBefore%.2f"},"sec_lo":${f"$t8%.2f"},
+             |"sec_hi":${f"$t32%.2f"}}""".stripMargin.replaceAll("\n", "") + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        writeBaselineMd(master, loCores, hiCores, turns, n32, t8, t32, tp8, tp32,
+          eff, effLooMin, effCross, pairEffs, tags, quietEffs.size, windowQuality,
+          samples, loadBefore)
+      }
+    } else if (doScaling) {
+      System.err.println(f"[bench] budget too tight for scaling " +
+        f"(${remaining}%.0fs left, need ~${corpusEstimate + pairEstimate * 1.25 + 30}%.0f) — carrying previous block forward")
     }
 
-    // scaling-only runs symmetrically carry the previous headline forward
-    val (qs, total) =
-      if (results.isEmpty) {
-        val prev = Paths.get("BENCH/RESULT.json")
-        val s = if (Files.exists(prev)) Files.readString(prev) else ""
-        val qi = s.indexOf("\"queries\":")
-        val qj = if (qi >= 0) s.indexOf('}', qi) else -1
-        val vi = s.indexOf("\"value\":")
-        val vj = if (vi >= 0) s.indexOf(',', vi) else -1
-        if (qj >= 0 && vj >= 0)
-          (s.substring(qi + 10, qj + 1), s.substring(vi + 8, vj).toDouble)
-        else ("{}", 0.0)
-      } else
-        (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-           .mkString("{", ",", "}"),
-         results.map(_._2).filter(_ >= 0).sum)
-    val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}"""
-    // file copy for the judge; stdout line (unprefixed via sbt
-    // outputStrategy) as the driver contract, printed last
+    if (spark != null) spark.stop()
+    emit()
+  }
+
+  /** BENCH/BASELINE.md writer. Preserves everything from the
+    * `## Measurement history` heading onward from the previous file (the
+    * curated narrative lives there and must survive rewrites).
+    */
+  private def writeBaselineMd(master: String, loCores: Int, hiCores: Int,
+      turns: Long, triples: Long, t8: Double, t32: Double,
+      tp8: Double, tp32: Double, eff: Double, effLooMin: Double,
+      effCross: Double, pairEffs: Seq[Double], tags: Seq[String],
+      quietCount: Int, windowQuality: String,
+      samples: Seq[(Int, (Long, Double))], loadBefore: Double): Unit = {
+    def execs(c: Int) = math.max(c / 4, 1)
+    val cfg = (c: Int) =>
+      if (master == "lc") s"local-cluster[${execs(c)} executors × 4 cores, 4g each]"
+      else s"local[$c]"
+    // doubled leading pipe: stripMargin on the enclosing template treats a
+    // line's first '|' as the margin and would otherwise eat the table border
+    val sampleRows = samples.zipWithIndex.map { case ((c, (_, t)), i) =>
+      s"|| ${i / 2 + 1} | ${cfg(c)} | ${f"$t%.2f"} | ${tags(i / 2)} |"
+    }.mkString("\n")
+    val pairRows = pairEffs.zip(tags).map { case (e, tg) => f"$e%.3f ($tg)" }
+      .mkString(", ")
+    val md =
+      s"""# BENCH scaling evidence (north rule: N → 4N executors)
+         |
+         |Flagship pipeline: transcripts → CSVW triple mapper → two-stage
+         |dedup (map-side partial + final hash aggregate). Same
+         |materialized deterministic input ($turns turns, $triples distinct
+         |triples) at two cluster sizes: **${cfg(loCores)} vs
+         |${cfg(hiCores)}** — real executor JVMs via Spark's
+         |`local-cluster` master, so each executor brings its own heap and
+         |GC, exactly as 4× executors would on a real cluster. Every
+         |measurement runs in a fresh driver JVM; configurations are
+         |interleaved lo/hi/lo/hi; each worker warms once and reports the
+         |steady state a long job amortizes to.
+         |
+         |Headline per-query numbers (`BENCH/RESULT.json`) are the
+         |per-query MIN over `GRAFT_BENCH_HEADLINE_REPS` (default 2)
+         |in-session reps, with the cold first-rep time reported alongside
+         |(`queries_cold`) — the VM host's noise is one-sided (a
+         |steal/IO-wait spike only ever slows a query), so the min is the
+         |engine's time. Streaming queries remain the most window-sensitive
+         |(microbatch coordination amplifies host latency; state
+         |checkpoints go to tmpfs for the same reason).
+         |
+         || config | wall sec (best) | triples/sec |
+         ||---|---|---|
+         || ${cfg(loCores)} | ${f"$t8%.2f"} | ${f"$tp8%.0f"} |
+         || ${cfg(hiCores)} | ${f"$t32%.2f"} | ${f"$tp32%.0f"} |
+         |
+         |**Scaling efficiency (N → 4N) = ${f"$eff%.3f"}** (target ≥ 0.8),
+         |the MEDIAN over the RULE-SELECTED QUIET pairs ($quietCount of
+         |${pairEffs.size}; window quality: **$windowQuality**). Each
+         |interleaved lo/hi pair shares one noise window, so its ratio is
+         |robust to the host's cross-window throughput drift; pairs are
+         |then classified by executable rules (super-unity ⇒ contaminated,
+         |hi wall ≥ 1.2× run-best ⇒ throttled, lo wall ≥ 1.15× run-best ⇒
+         |contended) and contaminated/contended/throttled pairs are
+         |EXCLUDED from the headline median — the measurement-history
+         |narrative below is now applied mechanically, not by judgment
+         |call. Pairs: $pairRows.
+         |Leave-one-out robustness over the quiet pairs: dropping any
+         |single one keeps the median ≥ ${f"$effLooMin%.3f"}. The
+         |config-wise-best (cross-window) ratio is ${f"$effCross%.3f"},
+         |reported for reference only — its minima can come from different
+         |noise windows. Ambient host load before the run:
+         |${f"$loadBefore%.2f"}.
+         |
+         |All samples (interleaved execution order):
+         |
+         || rep | config | wall sec | pair tag |
+         ||---|---|---|---|
+         |$sampleRows
+         |
+         |Round-1 note: the same pipeline measured 0.602 with a
+         |single-JVM `local[4]` vs `local[16]` proxy and a dedup plan
+         |that repartitioned before aggregating. Two changes closed the
+         |gap: (a) the dedup is now a group-only hash aggregate whose
+         |map-side partial dedups before the exchange — the shuffle
+         |carries ~distinct rows instead of every duplicate — and (b) the
+         |N→4N comparison uses real executor JVMs, so the high-end config
+         |isn't starved of per-core heap inside one fixed-size JVM.
+         |""".stripMargin
+    val prevHistory = {
+      val p = Paths.get("BENCH/BASELINE.md")
+      if (Files.exists(p)) {
+        val s = Files.readString(p)
+        val i = s.indexOf("## Measurement history")
+        if (i >= 0) "\n" + s.substring(i) else ""
+      } else ""
+    }
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/RESULT.json"), json + "\n")
-    spark.stop()
-    println(json)
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), md + prevHistory)
   }
 }

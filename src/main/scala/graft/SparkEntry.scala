@@ -414,6 +414,16 @@ object SparkEntry {
       DedupFunctions.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         shingleSize = 3, threshold = 0.12)),
 
+    // the 100 TB configuration for low-threshold Jaccard: candidate
+    // generation only over shingles with document frequency ≤ 32 (bucket
+    // joins bounded at cap² pairs per shingle — no stop-shingle k²), exact
+    // verify over full shingle sets. Deterministic: the DuckDB oracle
+    // replicates the cap rule exactly, so this drives the capped PLAN, not
+    // just the capped API
+    "d4_jaccard_capped" -> ((s, d) =>
+      DedupFunctions.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.12, dfCap = Some(32L))),
+
     // exact DuckDB oracle: the corpus (originals + SQL-replicable perturbed
     // copies) is brute-forced all-pairs in DuckDB, so the LSH blocking must
     // achieve 100% recall on it — organic pairs max out at cosine ~0.51, so
@@ -1133,6 +1143,39 @@ object SparkEntry {
         |inter AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE i / (na.n + nb.n - i) >= 0.12""".stripMargin,
+
+    // same shingling; candidates restricted to pairs sharing a shingle with
+    // document frequency <= 32 (the exact rule the capped Spark plan uses),
+    // then exact Jaccard over full shingle sets of the candidates. The
+    // length filter inside the Spark join is recall-lossless (J >= t forces
+    // min >= t*max), so the oracle needs only the cap rule + final filter.
+    "d4_jaccard_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok, t.pos FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS tok,
+        |      generate_subscripts(string_split_regex(lower(text), '[^a-z0-9'']+'), 1) AS pos
+        |    FROM documents) t(doc_id, tok, pos) WHERE length(tok) > 0),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN dfreq f ON f.shingle = x.shingle
+        |  WHERE f.df <= 32),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS i
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.id_a
+        |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
         |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b

@@ -185,10 +185,10 @@ object DedupFunctions {
     * EVERY common shingle in both prefixes is hotter than the cap — any
     * single sub-cap common prefix shingle still surfaces the pair.
     *
-    * Plan selection by threshold — both branches prune exactly:
+    * Plan selection by threshold — both uncapped branches prune exactly:
     *
-    *  - **t ≥ 0.5, or any t with `dfCap` set**: candidate generation over
-    *    prefixes with all three filters, then verification computes the
+    *  - **t ≥ 0.5**: candidate generation over prefixes with all three
+    *    filters (plus the df cap when set), then verification computes the
     *    exact intersection over full shingle sets of surviving candidates
     *    (per-doc sizes ride along from one window over the id exchange).
     *  - **t < 0.5 without a cap**: prefixes keep > (1−t) ≈ 88% of shingles
@@ -197,11 +197,17 @@ object DedupFunctions {
     *    them — measured 2.3× slower than one pass at sf0.1. The plan is a
     *    single co-shingle self-join whose ONE aggregate computes the exact
     *    intersection, with the length filter inside the join condition
-    *    (pairs with min < t·max never reach the shuffle). The hot-shingle
-    *    k² enumeration that motivates prefix/positional pruning is the
-    *    `dfCap` escape hatch: setting it routes low t through the verified
-    *    candidate path above, trading the documented recall bound for
-    *    bounded bucket sizes.
+    *    (pairs with min < t·max never reach the shuffle).
+    *  - **t < 0.5 with `dfCap` set** — the 100 TB configuration for
+    *    low-threshold mining: candidate generation joins only on shingles
+    *    with document frequency ≤ cap (every bucket ≤ cap rows ⇒ ≤ cap²
+    *    candidate pairs per shingle, no k² stop-shingle blowup), then the
+    *    exact-intersection verify pass re-joins the FULL shingle sets of
+    *    the surviving id pairs. Deterministic and hash-independent: a true
+    *    pair is missed iff every one of its shared shingles is hotter than
+    *    the cap, so the emitted set is a pure function of (corpus, t, cap)
+    *    — replicable in the DuckDB oracle — and recall degrades only for
+    *    pairs whose entire overlap is stop-shingles.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
@@ -221,7 +227,26 @@ object DedupFunctions {
         lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9)
 
     val inter =
-      if (threshold >= 0.5 || dfCap.isDefined) {
+      if (threshold < 0.5 && dfCap.isDefined) {
+        // low-t capped path: bucket-capped candidate generation (ids only)
+        // + exact verify over full shingle sets. No prefix/positional
+        // pruning here — at low t prefixes barely prune, and keeping the
+        // candidate rule hash-free makes the emitted set exactly
+        // replicable by the oracle.
+        val cap = dfCap.get
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val capped = sh.join(dfreq.filter(col("df") <= cap), "sh")
+        val cand = capped.select(col("sh"), col("id").as("id_a"), col("n").as("n_a"))
+          .join(capped.select(col("sh").as("sh2"), col("id").as("id_b"), col("n").as("n_b")),
+            col("sh") === col("sh2") && col("id_a") < col("id_b") && lengthOk)
+          .select(col("id_a"), col("id_b")).dropDuplicates()
+        cand
+          .join(sh.toDF("id_a", "sha", "n_a"), "id_a")
+          .join(sh.toDF("idb2", "shb", "n_b"),
+            col("id_b") === col("idb2") && col("sha") === col("shb"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      } else if (threshold >= 0.5 || dfCap.isDefined) {
         val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         // ε keeps ⌈t·n⌉ from rounding UP a product that is an exact integer
         // held inexactly (0.9·10 = 9.000000…1) — erring toward a longer prefix

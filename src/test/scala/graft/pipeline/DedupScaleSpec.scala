@@ -144,6 +144,36 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(uncapped.nonEmpty && starved.isEmpty)
   }
 
+  test("capped low-t set == brute force filtered by the cap rule (exact semantics)") {
+    // the driver's 100 TB configuration (t=0.12, mid cap): the emitted set
+    // must be EXACTLY the brute-force pairs that share at least one
+    // sub-cap shingle — deterministic, hash-free, and what the DuckDB
+    // oracle replicates for d4_jaccard_capped
+    val t = 0.12
+    val cap = 4L
+    // 20 docs whose ONLY overlap is a 10-token hot phrase (its internal
+    // shingles have df=20 — over the cap) + one pair sharing a rare
+    // 10-token phrase (df=2 — under the cap). The cap must drop all 190
+    // hot pairs and keep the rare pair, exactly.
+    val hot = (0 until 10).map(i => s"hot$i").mkString(" ")
+    val rare = (0 until 10).map(i => s"rare$i").mkString(" ")
+    val fixture = ((0 until 20).map(i => (100L + i, s"$hot u${i}a u${i}b u${i}c")) ++
+      Seq((200L, s"$rare x1 x2 x3"), (201L, s"$rare y1 y2 y3")))
+      .toDF("doc_id", "text")
+    def pairs(dfCap: Option[Long]) =
+      DedupFunctions.ngramJaccardPairs(fixture, "doc_id", "text",
+        shingleSize = 3, threshold = t, dfCap = dfCap)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val uncapped = pairs(None)
+    assert(uncapped.size == 191, // C(20,2) hot pairs + the rare pair
+      s"fixture drifted: ${uncapped.size} uncapped pairs")
+    val capped = pairs(Some(cap))
+    // the rule keeps exactly the pairs sharing a sub-cap shingle, at the
+    // UNCAPPED pair's exact jaccard (verify runs over full shingle sets)
+    assert(capped == uncapped.filter(p => p._1 == 200L && p._2 == 201L))
+    assert(capped.size == 1)
+  }
+
   test("connected components: 120-node path converges via pointer jumping") {
     // plain min-label propagation needs 119 rounds; the 50-iteration budget
     // is only enough because label chains halve each round
