@@ -460,19 +460,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
     }),
 
-    // IVF ANN: codebook = the first 16 corpus vectors (deterministic
-    // stand-in for an offline-trained quantizer; bounded driver collect —
-    // codebooks are small by construction), corpus assigned to nearest
-    // cells map-side, queries probe their 3 nearest cells. The DuckDB
-    // oracle replicates the FULL IVF algorithm (assignment + probes +
-    // in-cell re-rank), so this checks exact algorithm parity, not just
-    // rows; IvfSpec separately asserts planted-pair recall vs brute force.
+    // IVF ANN with a TRAINED codebook: deterministic Lloyd k-means (k=16,
+    // 2 rounds, init = the 16 lowest-id base vectors — all part of the
+    // query contract) over the base table, then corpus assigned to nearest
+    // cells map-side and queries probing their 3 nearest cells. The DuckDB
+    // oracle replicates the FULL pipeline — both unrolled training rounds
+    // (assignment + per-dimension mean) AND the probe/re-rank — so this
+    // checks exact algorithm parity, not just rows; IvfSpec separately
+    // asserts planted-pair recall vs brute force.
     "s3_ann_ivf" -> ((s, d) => {
       val base = embeddingsDouble(s, d)
       val corpus = base.unionByName(perturbedCopies(base))
-      val centroids: Array[Array[Double]] = base.filter(col("vec_id") < 16)
-        .orderBy("vec_id").select("embedding")
-        .collect().map(_.getSeq[Double](0).toArray)
+      val centroids = AnnFunctions.trainCodebook(base, "vec_id", "embedding",
+        k = 16, iters = 2)
       AnnFunctions.ivfTopK(base.filter(col("vec_id") < 10), corpus,
           "vec_id", "vec_id", "embedding", k = 5, centroids, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"),
@@ -1350,9 +1350,11 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine
         |FROM ranked WHERE rn = 1""".stripMargin,
 
-    // full IVF replica: same codebook (vec_id < 16), same nearest-cell
-    // assignment (cosine desc, centroid index asc), same 3-cell probes,
-    // same in-cell top-5 re-rank
+    // full IVF replica INCLUDING the trained codebook: init = 16 lowest-id
+    // base vectors, two unrolled Lloyd rounds (nearest-centroid assignment
+    // with cosine-desc/index-asc tie-break, then per-dimension mean; empty
+    // cells keep the previous centroid), then the same 3-cell probes and
+    // in-cell top-5 re-rank the Spark plan runs
     "s3_ann_ivf" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cp AS (SELECT vec_id + 100000 AS cvid,
@@ -1360,8 +1362,34 @@ object SparkEntry {
         |           x + ((vec_id * 31 + (i - 1)) % 7 - 3) * CAST(0.002 AS DOUBLE)) AS v
         |       FROM base),
         |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT cvid AS vec_id, v FROM cp),
-        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-        |         FROM base WHERE vec_id < 16),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        |          FROM base WHERE vec_id < 16),
+        |asg1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT b.vec_id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS rn
+        |    FROM base b CROSS JOIN cent0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cell, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT cell, dim, avg(x) AS m FROM (
+        |      SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim
+        |      FROM asg1) GROUP BY cell, dim) GROUP BY cell),
+        |cent1 AS (SELECT c0.cell, coalesce(m1.cv, c0.cv) AS cv
+        |          FROM cent0 c0 LEFT JOIN m1 USING (cell)),
+        |asg2 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT b.vec_id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS rn
+        |    FROM base b CROSS JOIN cent1 c) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cell, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT cell, dim, avg(x) AS m FROM (
+        |      SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim
+        |      FROM asg2) GROUP BY cell, dim) GROUP BY cell),
+        |cent AS (SELECT c1.cell, coalesce(m2.cv, c1.cv) AS cv
+        |         FROM cent1 c1 LEFT JOIN m2 USING (cell)),
         |ccell AS (
         |  SELECT vec_id, v, cell FROM (
         |    SELECT c.vec_id, c.v, ct.cell,

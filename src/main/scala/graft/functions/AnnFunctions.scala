@@ -103,6 +103,39 @@ object AnnFunctions {
   def ivfCells(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     graft.expr.CsvwFunctions.ivfCells(emb, centroids, nprobe)
 
+  /** Deterministic Lloyd (k-means) training for the IVF codebook, as the
+    * batch job the 100 TB deployment runs offline. Everything is part of
+    * the query contract so an oracle can replicate it: init = the `k`
+    * lowest-id vectors in id order; each of the `iters` rounds assigns
+    * every vector to its nearest centroid (cosine desc, index tie-break —
+    * the SAME rule `ivfCells` applies at query time) and replaces each
+    * centroid with the element-wise mean of its members (an empty cell
+    * keeps its previous centroid). Assignment is a map-only pass with the
+    * codebook as a plan reference object; the mean is one (cell, dim) hash
+    * aggregate per round, and only k×dim averages reach the driver.
+    *
+    * Floating-point caveat: the mean's summation order is partition-order
+    * dependent, so centroids can differ across runs in the last ulps;
+    * assignments are stable as long as centroid margins exceed ~1e-12,
+    * which holds for any non-degenerate corpus.
+    */
+  def trainCodebook(df: DataFrame, idCol: String, embCol: String,
+                    k: Int, iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(embCol).collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k, s"corpus smaller than codebook: ${centroids.length} < $k")
+    for (_ <- 0 until iters) {
+      val next = centroids.map(_.clone())
+      df.select(element_at(ivfCells(col(embCol), centroids, 1), 1).as("cell"),
+          posexplode(col(embCol)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN top-k: every corpus vector is assigned to its
     * nearest-centroid cell in a map-only pass (the codebook ships as a
     * plan-reference object — zero shuffle for assignment), queries probe

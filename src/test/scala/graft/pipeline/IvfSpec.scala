@@ -75,6 +75,38 @@ class IvfSpec extends AnyFunSuite {
     assert(brute == (0 until 10).map(i => (i.toLong, (1000 + i).toLong)).toMap)
   }
 
+  test("trainCodebook matches a driver-side Lloyd replication (k=8, 2 rounds)") {
+    val trained = AnnFunctions.trainCodebook(base, "vec_id", "embedding", k = 8, iters = 2)
+    // plain-Scala replication of the contract: init = 8 lowest ids, assign
+    // by (cosine desc, index asc), mean per cell, empty cell keeps centroid
+    var expect: Array[Array[Double]] = (0 until 8).map(vec).toArray
+    (0 until 2).foreach { _ =>
+      val members = (0 until N).groupBy(i =>
+        expect.indices.minBy(c => (-cosine(vec(i), expect(c)), c)))
+      expect = expect.indices.map { c =>
+        members.get(c) match {
+          case Some(ms) =>
+            Array.tabulate(Dim)(d => ms.map(i => vec(i)(d)).sum / ms.size)
+          case None => expect(c)
+        }
+      }.toArray
+    }
+    trained.zip(expect).zipWithIndex.foreach { case ((got, want), c) =>
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"centroid $c: $g vs $w")
+      }
+    }
+  }
+
+  test("trained codebook keeps planted-pair recall: IVF top-1 == brute top-1") {
+    val trained = AnnFunctions.trainCodebook(base, "vec_id", "embedding", k = 8, iters = 2)
+    val queries = base.filter(col("vec_id") < 10)
+    val ivf = AnnFunctions.ivfTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 1, trained, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf == (0 until 10).map(i => (i.toLong, (1000 + i).toLong)).toMap)
+  }
+
   test("candidate join is a cell equi-join — no cartesian in the plan") {
     val plan = AnnFunctions.ivfTopK(base.filter(col("vec_id") < 10), corpus,
         "vec_id", "vec_id", "embedding", k = 5, centroids, nprobe = 3)
