@@ -34,8 +34,11 @@ object CellRuntime extends Serializable {
     if (!Xsd.NoCollapseBases.contains(base)) value = value.trim.replaceAll("\\s+", " ")
     if (value.isEmpty) value = col.default
 
+    // an (already-defaulted) empty value splits to ZERO items — Ruby's
+    // "".split(sep) is [] (metadata.rb:2082) — so a still-empty separator
+    // cell is an empty sequence, not a sequence of one empty string
     val rawValues: Array[String] = col.separator match {
-      case Some(sep) => if (value.isEmpty) Array("") else splitLikeRuby(value, sep)
+      case Some(sep) => splitLikeRuby(value, sep)
       case None => Array(value)
     }
 

@@ -33,8 +33,20 @@ object CsvwReader {
     * table-group document. Reuses the open's table bindings, so the JSON
     * pass stages the same codegen'd cell pipeline.
     */
-  def jsonDocument(opened: Opened, minimal: Boolean): String = {
-    val parts = opened.group.tables.zip(opened.resolved)
+  def jsonDocument(opened: Opened, minimal: Boolean): String =
+    JsonOutput.groupDocument(opened.group, jsonParts(opened, minimal), minimal)
+
+  /** Minimal-mode `to_json` streamed to a file instead of collected — the
+    * row-count-unbounded form ([[JsonOutput.writeMinimalDocument]]): one
+    * global sort, then the ordered rows flow through the driver one at a
+    * time. Output is byte-identical to `jsonDocument(_, minimal = true)`.
+    */
+  def writeMinimalJson(opened: Opened, out: java.nio.file.Path): Unit =
+    JsonOutput.writeMinimalDocument(jsonParts(opened, minimal = true), out)
+
+  private def jsonParts(opened: Opened, minimal: Boolean)
+      : Seq[(TableMeta, ResolvedTable, org.apache.spark.sql.DataFrame)] =
+    opened.group.tables.zip(opened.resolved)
       .filterNot(_._2.suppressOutput)
       .flatMap { case (tm, rt) =>
         opened.bind.get(rt.url).map { b =>
@@ -46,8 +58,6 @@ object CsvwReader {
           (tm, rt, df)
         }
       }
-    JsonOutput.groupDocument(opened.group, parts, minimal)
-  }
 
   def open(spark: SparkSession, path: String, baseUrl: String,
            minimal: Boolean = false, validate: Boolean = false,

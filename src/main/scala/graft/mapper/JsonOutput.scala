@@ -289,6 +289,34 @@ object JsonOutput {
     mapper.writeValueAsString(root)
   }
 
+  /** Minimal-mode group document STREAMED to a file: the same
+    * row-concatenation as [[groupDocument]] (minimal branch) but the
+    * globally-ordered `json` column flows through `toLocalIterator` — one
+    * range-partitioned sort, then partitions stream to the writer in order
+    * — so driver memory holds one row at a time and the document may
+    * exceed driver heap. [[groupDocument]] keeps the collect form for
+    * document-sized outputs (a JSON document is consumed whole anyway);
+    * this is the row-count-unbounded escape hatch.
+    */
+  def writeMinimalDocument(parts: Seq[(graft.model.TableMeta, ResolvedTable, DataFrame)],
+                           out: java.nio.file.Path): Unit = {
+    val w = java.nio.file.Files.newBufferedWriter(out)
+    try {
+      w.write("[")
+      var first = true
+      parts.foreach { case (_, _, ordered) =>
+        val it = ordered.orderBy(col("__rn"), col("__pos")).select(col("json"))
+          .toLocalIterator()
+        while (it.hasNext) {
+          if (!first) w.write(",")
+          first = false
+          w.write(it.next().getString(0))
+        }
+      }
+      w.write("]")
+    } finally w.close()
+  }
+
   /** JSON-friendly common-property value (`metadata.rb:959-980`, the
     * non-block branch of `common_properties`): `@value` objects unwrap to
     * the value, `@id`-only objects flatten to the IRI string, node objects

@@ -1,0 +1,296 @@
+package graft.mapper
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** Feature-level golden parity in the style of the W3C csvw-tests suite
+  * (`/root/reference/spec/suite_spec.rb:12-83` — the official manifests
+  * cannot run offline, in this sandbox or in the reference's own CI, which
+  * skips them without a local checkout). Each case is a self-contained
+  * metadata+CSV fixture exercising one normative csv2rdf/metadata rule the
+  * 10 reference fixture families do not cover, driven through the FULL
+  * production entry point ([[CsvwReader.open]]) and compared against an
+  * expected graph hand-derived from the spec rule cited on the case —
+  * blank-node isomorphic, exactly like the reference's
+  * `be_equivalent_graph`.
+  */
+class FeatureGoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val Base = "http://example.org/"
+
+  /** Write the fixture files, open the metadata document through the
+    * production reader, and compare the triple set to the expected turtle.
+    */
+  private def check(name: String, meta: String, csv: String, expectedTtl: String,
+                    minimal: Boolean = true, csvName: String = "test.csv"): Unit = {
+    import spark.implicits._
+    val dir: Path = Files.createTempDirectory(s"graft_feature_$name")
+    Files.writeString(dir.resolve("meta.json"), meta)
+    Files.writeString(dir.resolve(csvName), csv)
+    val opened = CsvwReader.open(spark, dir.resolve("meta.json").toString,
+      Base + "meta.json", minimal = minimal)
+    val got = opened.result.triples
+      .as[(String, String, String, Boolean, Option[String], Option[String])]
+      .collect().toSet
+      .map((t: (String, String, String, Boolean, Option[String], Option[String])) =>
+        Triple(t._1, t._2, t._3, t._4, t._5.orNull, t._6.orNull))
+    val want = TurtleLite.parse(expectedTtl, Base + csvName)
+    assert(TurtleLite.isomorphic(got, want),
+      s"\n=== $name ===\n" + TurtleLite.diff(got, want))
+  }
+
+  private val Prefixes =
+    """@prefix csvw: <http://www.w3.org/ns/csvw#> .
+      |@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |@prefix : <http://example.org/test.csv#> .
+      |""".stripMargin
+
+  test("null list and default substitution (metadata §5.11.2 null/default)") {
+    // "" takes the column default BEFORE the null check; values in the
+    // null list produce NO triple for a non-required column
+    check("null_default",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "n", "datatype": "integer", "default": "0", "null": ["NA", "-"]}]}}""",
+      "id,n\na,5\nb,NA\nc,\nd,-\n",
+      Prefixes +
+        """:r1 :id "a"; :n "5"^^xsd:integer .
+          |:r2 :id "b" .
+          |:r3 :id "c"; :n "0"^^xsd:integer .
+          |:r4 :id "d" .
+          |""".stripMargin)
+  }
+
+  test("separator splits into repeated triples when unordered (csv2rdf §4.6.3)") {
+    check("separator",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "xs", "separator": ";", "datatype": "integer"}]}}""",
+      "id,xs\na,1;2;3\nb,7\n",
+      Prefixes +
+        """:r1 :id "a"; :xs "1"^^xsd:integer, "2"^^xsd:integer, "3"^^xsd:integer .
+          |:r2 :id "b"; :xs "7"^^xsd:integer .
+          |""".stripMargin)
+  }
+
+  test("ordered separator emits an rdf:List cons chain (csv2rdf §4.6.3 ordered)") {
+    check("ordered_list",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "xs", "separator": ";", "ordered": true, "datatype": "string"}]}}""",
+      "id,xs\na,x;y\n",
+      Prefixes +
+        """:r1 :id "a"; :xs _:l0 .
+          |_:l0 rdf:first "x"; rdf:rest _:l1 .
+          |_:l1 rdf:first "y"; rdf:rest rdf:nil .
+          |""".stripMargin)
+  }
+
+  test("inherited lang tags string literals (metadata §5.7 lang)") {
+    check("lang",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "lang": "fr",
+           "columns": [
+             {"name": "mot", "datatype": "string"},
+             {"name": "n", "datatype": "integer"}]}}""",
+      "mot,n\nbonjour,1\n",
+      Prefixes +
+        """:r1 :mot "bonjour"@fr; :n "1"^^xsd:integer .
+          |""".stripMargin)
+  }
+
+  test("special float lexical forms pass through (xsd:double INF/NaN)") {
+    check("special_floats",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "x", "datatype": "double"}]}}""",
+      "id,x\na,INF\nb,-INF\nc,NaN\nd,4.2E9\n",
+      Prefixes +
+        """:r1 :id "a"; :x "INF"^^xsd:double .
+          |:r2 :id "b"; :x "-INF"^^xsd:double .
+          |:r3 :id "c"; :x "NaN"^^xsd:double .
+          |:r4 :id "d"; :x "4.2e9"^^xsd:double .
+          |""".stripMargin)
+    // "4.2e9": the exponent char normalizes to lowercase (uax35.rb:249)
+  }
+
+  test("datatype @id types the literal with the custom IRI (metadata §5.11.2 @id)") {
+    check("custom_dtype",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "temp", "datatype": {"base": "decimal", "@id": "http://example.org/temperature"}}]}}""",
+      "id,temp\na,25.5\n",
+      Prefixes +
+        """:r1 :id "a"; :temp "25.5"^^<http://example.org/temperature> .
+          |""".stripMargin)
+  }
+
+  test("valueUrl makes IRI objects; null cells emit nothing (csv2rdf §4.6.8.2)") {
+    check("value_url",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "link", "valueUrl": "http://example.org/id/{link}"}]}}""",
+      "id,link\na,x1\nb,\n",
+      Prefixes +
+        """:r1 :id "a"; :link <http://example.org/id/x1> .
+          |:r2 :id "b" .
+          |""".stripMargin)
+  }
+
+  test("suppressOutput column binds but emits no triples (metadata §5.6 suppressOutput)") {
+    check("suppress_col",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "secret", "suppressOutput": true, "datatype": "string"}]}}""",
+      "id,secret\na,hidden\n",
+      Prefixes +
+        """:r1 :id "a" .
+          |""".stripMargin)
+  }
+
+  test("boolean format Y|N parses to canonical true/false (metadata §5.11.2 boolean format)") {
+    check("bool_format",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "flag", "datatype": {"base": "boolean", "format": "Y|N"}}]}}""",
+      "id,flag\na,Y\nb,N\n",
+      Prefixes +
+        """:r1 :id "a"; :flag "true"^^xsd:boolean .
+          |:r2 :id "b"; :flag "false"^^xsd:boolean .
+          |""".stripMargin)
+  }
+
+  test("propertyUrl template with {_name} (csv2rdf §4.6.8.1 property URL)") {
+    check("property_url",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "propertyUrl": "http://example.org/prop/{_name}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "x", "datatype": "integer"}]}}""",
+      "id,x\na,1\n",
+      Prefixes +
+        """:r1 <http://example.org/prop/id> "a";
+          |    <http://example.org/prop/x> "1"^^xsd:integer .
+          |""".stripMargin)
+  }
+
+  test("aboutUrl referencing another column groups triples per entity (csv2rdf §4.6.8.3)") {
+    // both columns describe the entity named by the pid column; the pid
+    // column itself also emits (it is not suppressed)
+    check("about_cross",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "http://example.org/person/{pid}",
+           "columns": [
+             {"name": "pid", "datatype": "string"},
+             {"name": "age", "datatype": "integer"}]}}""",
+      "pid,age\np1,30\np2,40\n",
+      Prefixes +
+        """<http://example.org/person/p1> :pid "p1"; :age "30"^^xsd:integer .
+          |<http://example.org/person/p2> :pid "p2"; :age "40"^^xsd:integer .
+          |""".stripMargin)
+  }
+
+  test("rowTitles emit csvw:title on the row node in standard mode (csv2rdf §4.3 titles)") {
+    // the column carries lang=en, so the title literal is tagged @en —
+    // the reference emits row.titles with the source cell's language
+    check("row_titles",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#p-{id}",
+           "rowTitles": ["name"],
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "name", "lang": "en", "datatype": "string"}]}}""",
+      "id,name\n1,Alice\n2,Bob\n",
+      Prefixes +
+        """:p-1 :id "1"; :name "Alice"@en .
+          |:p-2 :id "2"; :name "Bob"@en .
+          |[ a csvw:TableGroup;
+          |  csvw:table [
+          |    a csvw:Table;
+          |    csvw:url <http://example.org/test.csv>;
+          |    csvw:row [
+          |      a csvw:Row;
+          |      csvw:describes :p-1;
+          |      csvw:rownum 1;
+          |      csvw:title "Alice"@en;
+          |      csvw:url <http://example.org/test.csv#row=2>
+          |    ], [
+          |      a csvw:Row;
+          |      csvw:describes :p-2;
+          |      csvw:rownum 2;
+          |      csvw:title "Bob"@en;
+          |      csvw:url <http://example.org/test.csv#row=3>
+          |    ]
+          |  ]
+          |] .
+          |""".stripMargin,
+      minimal = false)
+  }
+
+  test("empty separator cell yields rdf:nil when ordered (reader.rb:332-338)") {
+    // BOTH rows produce an empty sequence ("" splits to zero items; the
+    // null item drops), and the reference's RDF leg materializes an empty
+    // RDF::List — whose subject is rdf:nil — for ordered columns
+    check("empty_list",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "xs", "separator": ";", "ordered": true,
+              "null": ["NA"], "datatype": "string"}]}}""",
+      "id,xs\na,\nb,NA\n",
+      Prefixes +
+        """:r1 :id "a"; :xs rdf:nil .
+          |:r2 :id "b"; :xs rdf:nil .
+          |""".stripMargin)
+  }
+
+  test("empty separator cell emits nothing when unordered (reader.rb:340-343)") {
+    check("empty_unordered",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "xs", "separator": ";", "datatype": "string"}]}}""",
+      "id,xs\na,\nb,x\n",
+      Prefixes +
+        """:r1 :id "a" .
+          |:r2 :id "b"; :xs "x" .
+          |""".stripMargin)
+  }
+}

@@ -122,6 +122,17 @@ class SuiteGoldenSpec extends AnyFunSuite {
     assert(got.exists(t => t._2 == s"$base#On%20Street" && t._3 == "ADDISON AV"))
   }
 
+  test("streamed minimal JSON document is byte-identical to the collected one") {
+    // countries.json: two tables, so the stream also crosses a table
+    // boundary; writeMinimalJson is the row-count-unbounded path
+    val base = "http://example.org/countries.json"
+    val opened = CsvwReader.open(spark, s"$Data/countries.json", base, minimal = true)
+    val collected = CsvwReader.jsonDocument(opened, minimal = true)
+    val out = Files.createTempFile("graft_stream_json", ".json")
+    CsvwReader.writeMinimalJson(opened, out)
+    assert(Files.readString(out) == collected)
+  }
+
   test("countries.json: consistent foreign keys validate clean (reader_spec.rb:291-298)") {
     val base = "http://example.org/countries.json"
     val opened = CsvwReader.open(spark, s"$Data/countries.json", base,
