@@ -228,24 +228,36 @@ object DedupFunctions {
 
     val inter =
       if (threshold < 0.5 && dfCap.isDefined) {
-        // low-t capped path: bucket-capped candidate generation (ids only)
-        // + exact verify over full shingle sets. No prefix/positional
-        // pruning here — at low t prefixes barely prune, and keeping the
-        // candidate rule hash-free makes the emitted set exactly
-        // replicable by the oracle.
+        // low-t capped path: bucket-capped candidate generation + exact
+        // verify. No prefix/positional pruning — at low t prefixes barely
+        // prune, and keeping the candidate rule hash-free makes the
+        // emitted set exactly replicable by the oracle. The exact
+        // intersection splits in two: the capped self-join counts the
+        // sub-cap shared shingles DIRECTLY (one aggregate, no re-walk of
+        // full shingle sets, no dropDuplicates shuffle), and only the
+        // over-cap sliver — at most a handful of distinct hot shingles by
+        // construction — re-joins to add the hot shared count.
         val cap = dfCap.get
         val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        val capped = sh.join(dfreq.filter(col("df") <= cap), "sh")
-        val cand = capped.select(col("sh"), col("id").as("id_a"), col("n").as("n_a"))
-          .join(capped.select(col("sh").as("sh2"), col("id").as("id_b"), col("n").as("n_b")),
+        val withDf = sh.join(dfreq, "sh")
+        val sub = withDf.filter(col("df") <= cap)
+        val hot = withDf.filter(col("df") > cap)
+        val interSub = sub.select(col("sh"), col("id").as("id_a"), col("n").as("n_a"))
+          .join(sub.select(col("sh").as("sh2"), col("id").as("id_b"), col("n").as("n_b")),
             col("sh") === col("sh2") && col("id_a") < col("id_b") && lengthOk)
-          .select(col("id_a"), col("id_b")).dropDuplicates()
-        cand
-          .join(sh.toDF("id_a", "sha", "n_a"), "id_a")
-          .join(sh.toDF("idb2", "shb", "n_b"),
-            col("id_b") === col("idb2") && col("sha") === col("shb"))
           .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+          .agg(count(lit(1)).as("inter_sub"),
+               first("n_a").as("n_a"), first("n_b").as("n_b"))
+        val interHot = interSub.select(col("id_a"), col("id_b"))
+          .join(hot.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+          .join(hot.select(col("id").as("idb2"), col("sh").as("shb")),
+            col("id_b") === col("idb2") && col("sha") === col("shb"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_hot"))
+        interSub
+          .join(interHot, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            (col("inter_sub") + coalesce(col("inter_hot"), lit(0L))).as("inter"),
+            col("n_a"), col("n_b"))
       } else if (threshold >= 0.5 || dfCap.isDefined) {
         val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         // ε keeps ⌈t·n⌉ from rounding UP a product that is an exact integer
