@@ -27,7 +27,8 @@ class CodegenOnlySpec extends AnyFunSuite {
   private val queryNames = Seq(
     "t1_triples_minimal", "t3_triples_standard", "g1_graph_materialize",
     "s7_json_minimal", "s3_csv_dialect", "f2_datatype_facets",
-    "d2_minhash_lsh", "d3_simhash", "d5_embedding_dup", "s3_ann_ivf",
+    "d2_minhash_lsh", "d3_simhash", "d4_jaccard_capped", "d5_embedding_dup",
+    "s3_ann_ivf",
     "x1_lang_id", "x5_token_bpe", "m1_multimodal_decode", "m2_frame_sample",
     "q1_agg", "q3_window", "j3_entity_link", "j4_connected_components")
 
