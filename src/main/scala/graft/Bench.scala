@@ -144,15 +144,21 @@ object Bench {
     * history): super-unity efficiency ⇒ the lo leg was host-hit
     * (contaminated); hi wall ≥20% over the run's best hi ⇒ burst-credit
     * throttle ramp; lo wall ≥15% over the run's best lo ⇒ contended.
+    * ABSOLUTE gates on top (quiet windows for the default 12M-turn corpus
+    * measure lo ≤ 80 s / hi ≤ 25 s; env-tunable for other corpus sizes,
+    * ~6% tolerance): a uniformly-contended run has tight relative spread —
+    * every pair slow together — which only the absolutes can see.
     */
   private def classify(pairs: Seq[Pair], ratio: Double): Seq[String] = {
     if (pairs.isEmpty) return Nil
+    val absLo = sys.env.getOrElse("GRAFT_BENCH_QUIET_LO_SECS", "85").toDouble
+    val absHi = sys.env.getOrElse("GRAFT_BENCH_QUIET_HI_SECS", "26.5").toDouble
     val minLo = pairs.map(_.lo).min
     val minHi = pairs.map(_.hi).min
     pairs.map { p =>
       if (p.eff(ratio) > 1.0) "contaminated"
-      else if (p.hi > 1.20 * minHi) "throttled"
-      else if (p.lo > 1.15 * minLo) "contended"
+      else if (p.hi > 1.20 * minHi || p.hi > absHi) "throttled"
+      else if (p.lo > 1.15 * minLo || p.lo > absLo) "contended"
       else "quiet"
     }
   }

@@ -118,9 +118,10 @@ object SparkEntry {
     * checkpoint, while RocksDB keeps state off-heap with changelog
     * checkpointing — the production choice once state outgrows memory.
     * Off by default locally: for a single-microbatch 0.5M-key load the
-    * in-heap map is faster (measured ~1.1× at sf0.1: str2 4.43 s vs
-    * 4.95 s, str3 4.08 s vs 4.62 s), exactly the crossover the provider
-    * knob exists for — RocksDB pays per-op native overhead and wins only
+    * in-heap map is faster — measured same-window at sf0.1 (round 4,
+    * min-of-2): str2 4.77 s in-heap vs 8.24 s RocksDB, str3 3.64 s vs
+    * 4.72 s, str1 1.74 s vs 2.31 s — exactly the crossover the provider
+    * knob exists for: RocksDB pays per-op native overhead and wins only
     * once state outgrows executor heap.
     */
   private def withStateProvider[T](s: SparkSession)(body: => T): T = {
@@ -1473,9 +1474,10 @@ object SparkEntry {
         |  (TRUE, 'error', 'Column 2 doesn''t match on titles: List(beta) vs List(GAMMA)')
         |) AS t(strict, severity, message)""".stripMargin,
 
+    // prefix-dropped AND stripped, per metadata.rb:1859 value[1..-1].strip
     "a3_comment_rows" ->
       """SELECT * FROM (VALUES
-        |  (1, ' top comment'), (2, ' second comment')
+        |  (1, 'top comment'), (2, 'second comment')
         |) AS t(n, comment)""".stripMargin,
 
     "p3_suppress_table" ->

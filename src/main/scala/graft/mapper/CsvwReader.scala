@@ -144,10 +144,22 @@ object CsvwReader {
           CsvDialectSource.readExact(spark, localFor(metaDir, baseDir, t.url).toString, dialect))
         val embedded = CsvDialectSource.embeddedColumns(exact.headerTitles, lang)
         val declaredCols = t.tableSchema.map(_.columns).getOrElse(Nil)
-        val t2 =
+        val t1 =
           if (declaredCols.nonEmpty) t
           else t.copy(tableSchema =
             Some(t.tableSchema.getOrElse(SchemaMeta()).copy(columns = embedded)))
+        // embedded comment rows annotate the TABLE as the rdfs:comment
+        // common property (metadata.rb:893 data-region rows, :1860 skipped
+        // lines) — they ride the existing common-property machinery into
+        // standard-mode RDF and JSON output
+        val t2 =
+          if (exact.comments.isEmpty) t1
+          else {
+            val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            val arr = m.createArrayNode()
+            exact.comments.foreach(arr.add)
+            t1.copy(common = t1.common :+ ("rdfs:comment" -> m.writeValueAsString(arr)))
+          }
         (t2, exact, embedded)
       }
 

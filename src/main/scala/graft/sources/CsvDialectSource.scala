@@ -125,10 +125,29 @@ object CsvDialectSource extends Serializable {
 
     // header region (driver-side; bounded by skipRows + headerRowCount)
     val headRegion = lines.filter(_._1 <= skip + headerRows).collect().sortBy(_._1)
-    val comments = headRegion.collect {
-      case (_, l) if commentPfx.exists(l.startsWith) =>
-        commentPfx.map(p => l.stripPrefix(p)).getOrElse(l)
-    }.toList
+    def commentOf(l0: String): Option[String] = {
+      // dialect trim, then prefix dropped and stripped (metadata.rb:1855-61
+      // value[1..-1].strip); in the skipRows region EVERY non-empty line is
+      // a comment annotation, prefixed or not
+      val l = applyTrim(l0)
+      val v = commentPfx.filter(l.startsWith).map(p => l.drop(p.length).trim).getOrElse(l)
+      Some(v).filter(_.nonEmpty)
+    }
+    val headComments = headRegion.collect {
+      case (n, l) if n <= skip => commentOf(l)
+      case (_, l) if commentPfx.exists(l.startsWith) => commentOf(l)
+    }.flatten.toList
+    // data-region comment rows also annotate the table (metadata.rb:890-893)
+    // — a driver collect bounded by the number of comment lines, and only
+    // when the dialect declares a prefix at all
+    val dataComments = commentPfx match {
+      case None => Nil
+      case Some(p) => lines
+        .filter { case (n, l) => n > skip + headerRows && l.startsWith(p) }
+        .collect().sortBy(_._1)
+        .flatMap { case (_, l) => commentOf(l) }.toList
+    }
+    val comments = headComments ++ dataComments
     val headerLines = headRegion
       .filter { case (n, l) => n > skip && !commentPfx.exists(l.startsWith) }
       .map(_._2).toList

@@ -44,6 +44,7 @@ class FeatureGoldenSpec extends AnyFunSuite {
   private val Prefixes =
     """@prefix csvw: <http://www.w3.org/ns/csvw#> .
       |@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+      |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
       |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
       |@prefix : <http://example.org/test.csv#> .
       |""".stripMargin
@@ -276,6 +277,119 @@ class FeatureGoldenSpec extends AnyFunSuite {
       Prefixes +
         """:r1 :id "a"; :xs rdf:nil .
           |:r2 :id "b"; :xs rdf:nil .
+          |""".stripMargin)
+  }
+
+  test("comment rows annotate the table as rdfs:comment (metadata.rb:893,1860)") {
+    // skipped lines and #-prefixed data rows both become rdfs:comment on
+    // the TABLE node in standard mode; the context @language tags them
+    check("comments",
+      """{"@context": ["http://www.w3.org/ns/csvw", {"@language": "en"}],
+         "url": "test.csv",
+         "dialect": {"commentPrefix": "#", "skipRows": 1},
+         "tableSchema": {"columns": [{"name": "id", "datatype": "string"}]}}""",
+      "# top note\nid\n1\n# mid note\n2\n",
+      Prefixes +
+        """_:e1 :id "1" .
+          |_:e2 :id "2" .
+          |[ a csvw:TableGroup;
+          |  csvw:table [
+          |    a csvw:Table;
+          |    csvw:url <http://example.org/test.csv>;
+          |    rdfs:comment "top note"@en, "mid note"@en;
+          |    csvw:row [
+          |      a csvw:Row; csvw:describes _:e1;
+          |      csvw:rownum 1; csvw:url <http://example.org/test.csv#row=3>
+          |    ], [
+          |      a csvw:Row; csvw:describes _:e2;
+          |      csvw:rownum 2; csvw:url <http://example.org/test.csv#row=5>
+          |    ]
+          |  ]
+          |] .
+          |""".stripMargin,
+      minimal = false)
+  }
+
+  test("number format groupChar/decimalChar normalizes the lexical (uax35.rb)") {
+    check("num_format",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "amt", "datatype":
+               {"base": "decimal", "format": {"groupChar": ".", "decimalChar": ","}}}]}}""",
+      "id,amt\na,\"1.234,56\"\n",
+      Prefixes +
+        """:r1 :id "a"; :amt "1234.56"^^xsd:decimal .
+          |""".stripMargin)
+  }
+
+  test("percent values decimal-shift two places (uax35.rb postProcess)") {
+    check("percent",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "rate", "datatype": "decimal"}]}}""",
+      "id,rate\na,42%\nb,7‰\n",
+      Prefixes +
+        """:r1 :id "a"; :rate "0.42"^^xsd:decimal .
+          |:r2 :id "b"; :rate "0.007"^^xsd:decimal .
+          |""".stripMargin)
+  }
+
+  test("time and gYear lexicals pass through typed (metadata §5.11.2 bases)") {
+    check("time_gyear",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "t", "datatype": "time"},
+             {"name": "y", "datatype": "gYear"}]}}""",
+      "t,y\n14:30:00,2010\n",
+      Prefixes +
+        """:r1 :t "14:30:00"^^xsd:time; :y "2010"^^xsd:gYear .
+          |""".stripMargin)
+  }
+
+  test("dialect trim start keeps trailing whitespace (dialect §trim)") {
+    check("trim_start",
+      """{"url": "test.csv",
+         "dialect": {"trim": "start"},
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "v", "datatype": "string"}]}}""",
+      "id,v\na,\" x \"\n",
+      Prefixes +
+        """:r1 :id "a"; :v "x " .
+          |""".stripMargin)
+  }
+
+  test("headerRowCount 2 synthesizes names from the first title (dialect §headerRowCount)") {
+    check("two_headers",
+      """{"url": "test.csv",
+         "dialect": {"headerRowCount": 2}}""",
+      "a,b\nA,B\n1,2\n",
+      Prefixes +
+        """_:e1 :a "1"; :b "2" .
+          |""".stripMargin)
+  }
+
+  test("hexBinary validates its decoded length facet (metadata §5.11.2 length)") {
+    check("hex_len",
+      """{"url": "test.csv",
+         "tableSchema": {
+           "aboutUrl": "#r{_row}",
+           "columns": [
+             {"name": "id", "datatype": "string"},
+             {"name": "h", "datatype": {"base": "hexBinary", "length": 2}}]}}""",
+      "id,h\na,cafe\n",
+      Prefixes +
+        """:r1 :id "a"; :h "cafe"^^xsd:hexBinary .
           |""".stripMargin)
   }
 

@@ -124,8 +124,10 @@ class CsvDialectSourceSpec extends AnyFunSuite {
       commentPrefix = Some("#"), skipBlankRows = true)
     val res = CsvDialectSource.readExact(spark, f.toString, dialect)
     assert(res.headerTitles == List(List("h1a", "h2a"), List("h1b", "h2b")))
-    // comments: only those in the header region are collected here
-    assert(res.comments == List(" top comment"))
+    // comments: every non-empty skipRows line (prefixed or not,
+    // metadata.rb:1855-61, prefix dropped + stripped) plus comment-prefixed
+    // data rows (metadata.rb:890-93), in source order
+    assert(res.comments == List("top comment", "junk to skip", "mid comment"))
     val rows = res.rows.collect().sortBy(_.getLong(0))
     assert(rows.length == 2)
     // logical numbering 1..2; source numbers are physical line numbers

@@ -89,6 +89,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(math.abs(byLang("de") / 75000.0 - 0.1) < 0.03, byLang)
   }
 
+  test("capped Jaccard: shingle equi-joins only, no cartesian, no full-set rewalk") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.functions.DedupFunctions
+      .ngramJaccardPairs(docs, "doc_id", "text", shingleSize = 3,
+        threshold = 0.12, dfCap = Some(32L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the sub-cap candidate join and the hot-sliver rejoin are both
+    // equi-joins keyed (in part) on the shingle hash
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("entity linking broadcasts the dictionary (no corpus shuffle)") {
     val corpus = (0 until 50).map(i => (i.toLong, s"text spark $i")).toDF("doc_id", "text")
     val dict = Seq(("e1", "spark")).toDF("entity_id", "surface")
