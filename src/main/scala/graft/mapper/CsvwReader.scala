@@ -44,6 +44,13 @@ object CsvwReader {
   def writeMinimalJson(opened: Opened, out: java.nio.file.Path): Unit =
     JsonOutput.writeMinimalDocument(jsonParts(opened, minimal = true), out)
 
+  /** Standard-mode `to_json` streamed to a file — the row-count-unbounded
+    * form of `jsonDocument(_, minimal = false)`
+    * ([[JsonOutput.writeStandardDocument]]); byte-identical output.
+    */
+  def writeStandardJson(opened: Opened, out: java.nio.file.Path): Unit =
+    JsonOutput.writeStandardDocument(opened.group, jsonParts(opened, minimal = false), out)
+
   private def jsonParts(opened: Opened, minimal: Boolean)
       : Seq[(TableMeta, ResolvedTable, org.apache.spark.sql.DataFrame)] =
     opened.group.tables.zip(opened.resolved)

@@ -317,6 +317,64 @@ object JsonOutput {
     } finally w.close()
   }
 
+  /** Standard-mode group document STREAMED to a file: byte-identical to
+    * [[groupDocument]]`(…, minimal = false)` but each table's row objects
+    * flow through `toLocalIterator` after one range-partitioned sort on
+    * `__rn`, so driver memory holds one row object at a time — the
+    * row-count-unbounded escape hatch for standard mode, mirroring
+    * [[writeMinimalDocument]]. The document-level headers (`@id`, common
+    * properties, table `url`) are serialized through the same Jackson
+    * nodes as the collect form, then the streamed `row` array is spliced
+    * in as the last member — the position [[groupDocument]] gives it.
+    */
+  def writeStandardDocument(group: graft.model.TableGroupMeta,
+                            parts: Seq[(graft.model.TableMeta, ResolvedTable, DataFrame)],
+                            out: java.nio.file.Path): Unit = {
+    val mapper = new ObjectMapper()
+    def putCommon(node: ObjectNode, common: Seq[(String, String)]): Unit =
+      common.foreach { case (k, raw) =>
+        val v = compactCommon(mapper, mapper.readTree(raw))
+        val wrapped =
+          if (k == "notes" && !v.isArray) { val a = mapper.createArrayNode(); a.add(v); a }
+          else v
+        node.set[JsonNode](k, wrapped)
+      }
+    // serialize a header object and reopen it so a trailing member can be
+    // appended: "{}" -> "{", "{...}" -> "{...,"
+    def opened(node: ObjectNode): String = {
+      val s = mapper.writeValueAsString(node)
+      if (s == "{}") "{" else s.dropRight(1) + ","
+    }
+    val w = java.nio.file.Files.newBufferedWriter(out)
+    try {
+      val root = mapper.createObjectNode()
+      group.id.foreach(root.put("@id", _))
+      putCommon(root, group.common)
+      w.write(opened(root))
+      w.write("\"tables\":[")
+      var firstTable = true
+      parts.foreach { case (tm, rt, described) =>
+        if (!firstTable) w.write(",")
+        firstTable = false
+        val tNode = mapper.createObjectNode()
+        tm.id.foreach(tNode.put("@id", _))
+        tNode.put("url", rt.url)
+        putCommon(tNode, tm.common)
+        w.write(opened(tNode))
+        w.write("\"row\":[")
+        val it = described.orderBy(col("__rn")).select(col("json")).toLocalIterator()
+        var first = true
+        while (it.hasNext) {
+          if (!first) w.write(",")
+          first = false
+          w.write(it.next().getString(0))
+        }
+        w.write("]}")
+      }
+      w.write("]}")
+    } finally w.close()
+  }
+
   /** JSON-friendly common-property value (`metadata.rb:959-980`, the
     * non-block branch of `common_properties`): `@value` objects unwrap to
     * the value, `@id`-only objects flatten to the IRI string, node objects

@@ -133,6 +133,18 @@ class SuiteGoldenSpec extends AnyFunSuite {
     assert(Files.readString(out) == collected)
   }
 
+  test("streamed standard JSON document is byte-identical to the collected one") {
+    // countries.json carries table-group + table common properties, so the
+    // spliced headers (@id/common/url before the streamed row array) are
+    // exercised, not just the bare-url shape
+    val base = "http://example.org/countries.json"
+    val opened = CsvwReader.open(spark, s"$Data/countries.json", base, minimal = false)
+    val collected = CsvwReader.jsonDocument(opened, minimal = false)
+    val out = Files.createTempFile("graft_stream_json_std", ".json")
+    CsvwReader.writeStandardJson(opened, out)
+    assert(Files.readString(out) == collected)
+  }
+
   test("countries.json: consistent foreign keys validate clean (reader_spec.rb:291-298)") {
     val base = "http://example.org/countries.json"
     val opened = CsvwReader.open(spark, s"$Data/countries.json", base,
