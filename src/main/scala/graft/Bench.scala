@@ -43,7 +43,7 @@ object Bench {
     "d1_dedup_exact", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
     "d4_jaccard_capped", "d5_embedding_dup",
     "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf", "s7_json_minimal", "x5_token_bpe",
-    "m2_frame_sample",
+    "m2_frame_sample", "m3_image_resize",
     "x1_lang_id", "x2_text_stats", "x3_quality_score", "x4_fingerprint",
     "x6_stratified_sample",
     "w1_turn_order", "m1_multimodal_decode",
@@ -379,6 +379,26 @@ object Bench {
         val effCross = (tp32 / tp8) / ratio
         val pairEffsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
         val tagsJson = tags.mkString("[\"", "\",\"", "\"]")
+        // keep-best policy: a run in a WORSE host window must not displace
+        // better-quality committed evidence (quality ok > limited >
+        // degraded, ties broken by quiet-pair count). Every attempt still
+        // lands in HISTORY.jsonl; only RESULT.json/BASELINE.md are gated.
+        // GRAFT_BENCH_FORCE_RESULT=1 overrides (e.g. after a code change
+        // that invalidates the old measurement).
+        def qRank(q: String): Int =
+          q match { case "ok" => 2; case "limited" => 1; case _ => 0 }
+        def jsField(src: String, key: String): Option[String] = {
+          val m = ("\"" + key + "\":\"?([a-z0-9.]+)\"?").r.findFirstMatchIn(src)
+          m.map(_.group(1))
+        }
+        val prevQuality = jsField(prevScalingJson, "window_quality")
+        val prevQuiet = jsField(prevScalingJson, "quiet_pairs")
+          .flatMap(_.toIntOption).getOrElse(0)
+        val prevWins = !sys.env.get("GRAFT_BENCH_FORCE_RESULT").contains("1") &&
+          prevQuality.exists { pq =>
+            qRank(pq) > qRank(windowQuality) ||
+              (qRank(pq) == qRank(windowQuality) && prevQuiet > quietEffs.size)
+          }
         val scalingJson =
           s""","scaling":{"triples":$n32,"turns":$turns,
              |"cores_lo":$loCores,"cores_hi":$hiCores,"mode":"$master",
@@ -390,7 +410,12 @@ object Bench {
              |"efficiency_loo_min":${f"$effLooMin%.3f"},
              |"efficiency_cross_window":${f"$effCross%.3f"},
              |"ambient_load_before":${f"$loadBefore%.2f"}}""".stripMargin.replaceAll("\n", "")
-        snapshot(buildJson(results, scalingJson))
+        if (prevWins)
+          System.err.println(s"[bench] keep-best: this window ($windowQuality, " +
+            s"${quietEffs.size} quiet) is worse than the committed block " +
+            s"(${prevQuality.get}, $prevQuiet quiet) — RESULT.json/BASELINE.md " +
+            "keep the previous measurement; this attempt recorded in HISTORY.jsonl")
+        else snapshot(buildJson(results, scalingJson))
         // history line so no BASELINE.md rewrite can lose a measurement
         Files.createDirectories(Paths.get("BENCH"))
         Files.writeString(Paths.get("BENCH/HISTORY.jsonl"),
@@ -400,9 +425,10 @@ object Bench {
              |"sec_hi":${f"$t32%.2f"}}""".stripMargin.replaceAll("\n", "") + "\n",
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
-        writeBaselineMd(master, loCores, hiCores, turns, n32, t8, t32, tp8, tp32,
-          eff, effLooMin, effCross, pairEffs, tags, quietEffs.size, windowQuality,
-          samples, loadBefore)
+        if (!prevWins)
+          writeBaselineMd(master, loCores, hiCores, turns, n32, t8, t32, tp8, tp32,
+            eff, effLooMin, effCross, pairEffs, tags, quietEffs.size, windowQuality,
+            samples, loadBefore)
       }
     } else if (doScaling) {
       System.err.println(f"[bench] budget too tight for scaling " +

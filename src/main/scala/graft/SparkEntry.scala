@@ -526,6 +526,13 @@ object SparkEntry {
         Multimodal.decode(Multimodal.withSyntheticPayload(t(s, d, "documents"), "doc_id")),
         k = 8)),
 
+    // aspect-preserving thumbnail dims over the DECODED image headers; the
+    // oracle replicates the floor-scaled rational from the planted formula
+    "m3_image_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.decode(Multimodal.withSyntheticPayload(t(s, d, "documents"), "doc_id")),
+        maxSide = 256)),
+
     // ---- streaming ingest (file source → watermark window agg → memory sink)
     "str1_stream_counts" -> ((s, d) => {
       val tmp = streamFixture(s, d)
@@ -1589,6 +1596,15 @@ object SparkEntry {
         |  CAST(floor(j * n / 8) AS INT) AS frame_idx
         |FROM (SELECT doc_id, doc_id % 240 + 1 AS n FROM documents WHERE doc_id % 3 = 2),
         |  UNNEST(range(least(8, n))) AS u(j)""".stripMargin,
+
+    "m3_image_resize" ->
+      """SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+        |    ELSE greatest(floor(w * 256 / greatest(w, h)), 1) END AS INT) AS out_width,
+        |  CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+        |    ELSE greatest(floor(h * 256 / greatest(w, h)), 1) END AS INT) AS out_height
+        |FROM (SELECT doc_id, (doc_id * 7) % 512 + 16 AS w, (doc_id * 13) % 512 + 16 AS h
+        |      FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
 
     "k1_salted_agg" ->
       s"""$trCte

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column processing: image/audio/video as opaque `binary`
@@ -180,5 +180,45 @@ object Multimodal {
         explode(sequence(lit(0), least(lit(k), col("n_frames")) - 1)).as("j"))
       .select(col("doc_id"), col("n_frames"),
         floor(col("j") * col("n_frames") / k).cast("int").as("frame_idx"))
+  }
+
+  /** Aspect-preserving resize plan over DECODED image metadata: an image
+    * whose longest side exceeds `maxSide` scales down to fit it (floor of
+    * the exact rational, clamped ≥ 1 — the standard thumbnailing rule);
+    * smaller images pass through. The target-dimension math is pure
+    * codegen'd Columns (one map stage — no shuffle, no UDF); dims stay well
+    * inside double precision, so `floor(a*m/l)` is exact and an external
+    * oracle replicates it bit-for-bit. [[reencode]] carries the byte-level
+    * leg where a real pixel codec would drop into the partition loop.
+    */
+  def resizePlan(decoded: Dataset[DecodedRow], maxSide: Int): DataFrame = {
+    require(maxSide >= 1, s"maxSide must be >= 1: $maxSide")
+    val w = col("width"); val h = col("height")
+    val longSide = greatest(w, h)
+    def fit(side: Column): Column =
+      when(longSide <= maxSide, side)
+        .otherwise(greatest(floor(side * maxSide / longSide), lit(1L)))
+        .cast("int")
+    decoded.toDF().filter(col("media_type") === "image")
+      .select(col("doc_id"), w, h,
+        fit(w).as("out_width"), fit(h).as("out_height"))
+  }
+
+  final case class ResizedRow(doc_id: Long, out_width: Int, out_height: Int,
+    payload: Array[Byte])
+
+  /** Byte-level re-encode of a [[resizePlan]] output: emits a real PNG
+    * container at the target dims per image, partition-batched so codec
+    * state would initialize once per partition (pixel resampling is the
+    * stubbed step — the container round-trips through [[decodeHeader]]).
+    */
+  def reencode(plan: DataFrame): Dataset[ResizedRow] = {
+    import plan.sparkSession.implicits._
+    plan.select(col("doc_id").cast("long"), col("out_width").cast("int"),
+        col("out_height").cast("int")).as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        // real impl note: the image codec/context would initialize here
+        it.map { case (id, ow, oh) => ResizedRow(id, ow, oh, pngBytes(ow, oh)) }
+      }
   }
 }

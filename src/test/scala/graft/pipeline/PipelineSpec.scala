@@ -294,6 +294,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Multimodal.decodeHeader(Multimodal.aviBytes(1920, 1080, 240)) == (("video", 1920, 1080, 240)))
     assert(Multimodal.decodeHeader("not media".getBytes)._1 == "unknown")
   }
+
+  test("resizePlan: aspect-preserving floor scale, small images pass through") {
+    val df = (0 until 90).map(_.toLong).toDF("doc_id")
+    val out = Multimodal.resizePlan(
+        Multimodal.decode(Multimodal.withSyntheticPayload(df, "doc_id")), maxSide = 256)
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    // only image rows (doc_id % 3 == 0)
+    assert(out.map(_._1).toSeq == (0 until 90).filter(_ % 3 == 0).map(_.toLong))
+    out.foreach { case (id, w, h, ow, oh) =>
+      assert(w == (id * 7 % 512 + 16).toInt && h == (id * 13 % 512 + 16).toInt)
+      val ls = math.max(w, h)
+      if (ls <= 256) assert(ow == w && oh == h)         // pass-through
+      else {
+        assert(ow == math.max(w.toLong * 256 / ls, 1).toInt)
+        assert(oh == math.max(h.toLong * 256 / ls, 1).toInt)
+        assert(math.max(ow, oh) == 256)                 // long side hits the cap
+        // aspect preserved within the 1px floor error
+        assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.08)
+      }
+    }
+  }
+
+  test("reencode: resized PNG container round-trips the target dims") {
+    val df = (0 until 30).map(_.toLong).toDF("doc_id")
+    val plan = Multimodal.resizePlan(
+      Multimodal.decode(Multimodal.withSyntheticPayload(df, "doc_id")), maxSide = 64)
+    val rows = Multimodal.reencode(plan).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(Multimodal.decodeHeader(r.payload) == (("image", r.out_width, r.out_height, 1)))
+    }
+  }
 }
 
 class CsvwDiscoverSpec extends AnyFunSuite {
