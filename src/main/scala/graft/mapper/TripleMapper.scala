@@ -1,6 +1,6 @@
 package graft.mapper
 
-import graft.core.Iri
+import graft.core.{Iri, Xsd}
 import graft.expr.CsvwFunctions
 import graft.model.{ResolvedColumn, ResolvedTable}
 
@@ -165,12 +165,15 @@ object TripleMapper {
       c.propertyUrl.map(expandTemplate(_, c))
         .getOrElse(lit(Iri.recompose(Iri.parse(base).copy(fragment = Some(c.name)))))
 
-    // literal lang/dtype rendering per element (metadata.rb:2091-2096, 2263-2276)
+    // literal lang/dtype rendering per element (metadata.rb:2091-2096, 2263-2276).
+    // The plain-literal carve-out keys on the EXPANDED datatype, not the base:
+    // a custom `@id` over base "string" emits a typed literal with that IRI
+    // (`metadata.rb:2090` expanded_dt = datatype.id || expand(base), :2270).
     def litTr(c: ResolvedColumn, subj: Column, pred: Column, v: Column): Column = {
       val ok = v.getField("ok")
       val langLit = if (c.lang != "und") lit(c.lang) else nullS
       val (langC, dtypeC) =
-        if (c.datatypeBase == "string") (langLit, nullS)
+        if (c.datatypeIri == Xsd.expandedIri("string")) (langLit, nullS)
         else (when(!ok, langLit).otherwise(nullS),
               when(ok, lit(c.datatypeIri)).otherwise(nullS))
       tr(subj, pred, v.getField("lex"), lit(false), langC, dtypeC)
@@ -279,8 +282,9 @@ object TripleMapper {
             graft.expr.LitTripleSpec(
               pred = p,
               lang = if (c.lang != "und") c.lang else null,
-              dtypeIri = if (c.datatypeBase == "string") null else c.datatypeIri,
-              isString = c.datatypeBase == "string")
+              dtypeIri = if (c.datatypeIri == Xsd.expandedIri("string")) null
+                         else c.datatypeIri,
+              isString = c.datatypeIri == Xsd.expandedIri("string"))
           }).cast(tripleArray)
       }
 
