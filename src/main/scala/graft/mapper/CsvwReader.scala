@@ -162,10 +162,24 @@ object CsvwReader {
         val t2 =
           if (exact.comments.isEmpty) t1
           else {
+            // merged into any user-declared rdfs:comment rather than added
+            // as a second pair: JSON output stores common properties by key,
+            // so a duplicate key would overwrite the declared value, while
+            // the reference coerces-and-appends (metadata.rb:1860
+            // `(metadata["rdfs:comment"] ||= []) << value`). RDF emission is
+            // unchanged — an array value emits one triple per element.
             val m = new com.fasterxml.jackson.databind.ObjectMapper()
             val arr = m.createArrayNode()
+            t1.common.collectFirst { case ("rdfs:comment", raw) => m.readTree(raw) }
+              .foreach {
+                case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+                  (0 until a.size()).foreach(i => arr.add(a.get(i)))
+                case other => arr.add(other)
+              }
             exact.comments.foreach(arr.add)
-            t1.copy(common = t1.common :+ ("rdfs:comment" -> m.writeValueAsString(arr)))
+            t1.copy(common =
+              t1.common.filterNot(_._1 == "rdfs:comment") :+
+                ("rdfs:comment" -> m.writeValueAsString(arr)))
           }
         (t2, exact, embedded)
       }

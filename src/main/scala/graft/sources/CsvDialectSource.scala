@@ -126,11 +126,12 @@ object CsvDialectSource extends Serializable {
     // header region (driver-side; bounded by skipRows + headerRowCount)
     val headRegion = lines.filter(_._1 <= skip + headerRows).collect().sortBy(_._1)
     def commentOf(l0: String): Option[String] = {
-      // dialect trim, then prefix dropped and stripped (metadata.rb:1855-61
-      // value[1..-1].strip); in the skipRows region EVERY non-empty line is
-      // a comment annotation, prefixed or not
+      // dialect trim, then EXACTLY ONE leading character dropped and the
+      // rest stripped (metadata.rb:1859 and :891 do value[1..-1].strip
+      // regardless of the declared prefix length); in the skipRows region
+      // EVERY non-empty line is a comment annotation, prefixed or not
       val l = applyTrim(l0)
-      val v = commentPfx.filter(l.startsWith).map(p => l.drop(p.length).trim).getOrElse(l)
+      val v = commentPfx.filter(l.startsWith).map(_ => l.drop(1).trim).getOrElse(l)
       Some(v).filter(_.nonEmpty)
     }
     val headComments = headRegion.collect {

@@ -310,6 +310,50 @@ class FeatureGoldenSpec extends AnyFunSuite {
       minimal = false)
   }
 
+  test("comment rows MERGE into a user-declared rdfs:comment (metadata.rb:1860)") {
+    // the reference coerces-and-appends: (metadata["rdfs:comment"] ||= [])
+    // << value — so a metadata-declared comment and the embedded comment
+    // rows land in ONE array. RDF emits all three; the standard-mode JSON
+    // document must carry the merged array, not have the embedded comments
+    // overwrite the declared value under the same key.
+    val metaJson =
+      """{"@context": ["http://www.w3.org/ns/csvw", {"@language": "en"}],
+         "url": "test.csv",
+         "rdfs:comment": "declared note",
+         "dialect": {"commentPrefix": "#", "skipRows": 1},
+         "tableSchema": {"columns": [{"name": "id", "datatype": "string"}]}}"""
+    val csv = "# top note\nid\n1\n"
+    check("comments_merge", metaJson, csv,
+      Prefixes +
+        """_:e1 :id "1" .
+          |[ a csvw:TableGroup;
+          |  csvw:table [
+          |    a csvw:Table;
+          |    csvw:url <http://example.org/test.csv>;
+          |    rdfs:comment "declared note"@en, "top note"@en;
+          |    csvw:row [
+          |      a csvw:Row; csvw:describes _:e1;
+          |      csvw:rownum 1; csvw:url <http://example.org/test.csv#row=3>
+          |    ]
+          |  ]
+          |] .
+          |""".stripMargin,
+      minimal = false)
+    // JSON leg: standard-mode document has ONE rdfs:comment key whose array
+    // holds declared-then-embedded values in order
+    val dir = Files.createTempDirectory("graft_feature_comments_merge_json")
+    Files.writeString(dir.resolve("meta.json"), metaJson)
+    Files.writeString(dir.resolve("test.csv"), csv)
+    val opened = CsvwReader.open(spark, dir.resolve("meta.json").toString,
+      Base + "meta.json", minimal = false)
+    val doc = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(CsvwReader.jsonDocument(opened, minimal = false))
+    val c = doc.get("tables").get(0).get("rdfs:comment")
+    assert(c != null && c.isArray, s"expected merged array, got $c")
+    val vals = (0 until c.size()).map(i => c.get(i).asText())
+    assert(vals == Seq("declared note", "top note"), s"got $vals")
+  }
+
   test("number format groupChar/decimalChar normalizes the lexical (uax35.rb)") {
     check("num_format",
       """{"url": "test.csv",
