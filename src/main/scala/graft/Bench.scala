@@ -136,23 +136,46 @@ object Bench {
     }
 
   /** One scaling sample pair with its rule-based window tag. */
-  private final case class Pair(lo: Double, hi: Double) {
+  private[graft] final case class Pair(lo: Double, hi: Double) {
     def eff(ratio: Double): Double = (lo / hi) / ratio
+  }
+
+  /** Version stamp for cross-run pooling: quiet pairs from HISTORY.jsonl
+    * count toward the committed efficiency only while the flagship pipeline
+    * they measured is the one shipping. BUMP THIS whenever
+    * [[BenchWorker.kgPipelineCount]], [[graft.sources.TranscriptGen]], the
+    * transcript triple mapper, or the worker Spark config changes in a way
+    * that affects the measurement. History lines without the field predate
+    * the stamp and belong to "r4" (the flagship plan was re-verified
+    * unchanged through round 4, PLANS.md 2026-08-17).
+    */
+  private val pipelineVersion = "r4"
+
+  /** Absolute quiet gates: quiet windows for the default 12M-turn corpus
+    * measure lo ≤ ~80 s / hi ≤ ~25 s (~6% tolerance applied). The corpus
+    * cost is linear in turns, so the defaults scale with the configured
+    * turn count instead of silently tagging every pair of a smaller corpus
+    * contended/throttled; env overrides win when set.
+    */
+  private[graft] def absoluteGates(turns: Long): (Double, Double) = {
+    val scale = turns.toDouble / 12000000.0
+    val absLo = sys.env.get("GRAFT_BENCH_QUIET_LO_SECS").map(_.toDouble)
+      .getOrElse(85.0 * scale)
+    val absHi = sys.env.get("GRAFT_BENCH_QUIET_HI_SECS").map(_.toDouble)
+      .getOrElse(26.5 * scale)
+    (absLo, absHi)
   }
 
   /** Rule-based window classification (BENCH/BASELINE.md measurement
     * history): super-unity efficiency ⇒ the lo leg was host-hit
     * (contaminated); hi wall ≥20% over the run's best hi ⇒ burst-credit
     * throttle ramp; lo wall ≥15% over the run's best lo ⇒ contended.
-    * ABSOLUTE gates on top (quiet windows for the default 12M-turn corpus
-    * measure lo ≤ 80 s / hi ≤ 25 s; env-tunable for other corpus sizes,
-    * ~6% tolerance): a uniformly-contended run has tight relative spread —
-    * every pair slow together — which only the absolutes can see.
+    * ABSOLUTE gates on top: a uniformly-contended run has tight relative
+    * spread — every pair slow together — which only the absolutes can see.
     */
-  private def classify(pairs: Seq[Pair], ratio: Double): Seq[String] = {
+  private[graft] def classify(pairs: Seq[Pair], ratio: Double,
+                       absLo: Double, absHi: Double): Seq[String] = {
     if (pairs.isEmpty) return Nil
-    val absLo = sys.env.getOrElse("GRAFT_BENCH_QUIET_LO_SECS", "85").toDouble
-    val absHi = sys.env.getOrElse("GRAFT_BENCH_QUIET_HI_SECS", "26.5").toDouble
     val minLo = pairs.map(_.lo).min
     val minHi = pairs.map(_.hi).min
     pairs.map { p =>
@@ -161,6 +184,89 @@ object Bench {
       else if (p.lo > 1.15 * minLo || p.lo > absLo) "contended"
       else "quiet"
     }
+  }
+
+  /** Quiet pairs pooled ACROSS runs from `BENCH/HISTORY.jsonl` — one run
+    * rarely catches a quiet window 6 consecutive times on this host, but
+    * quiet pairs accumulate across attempts. Only lines of the current
+    * [[pipelineVersion]] and corpus size qualify; the absolute quiet gates
+    * are re-applied retroactively (lines recording per-pair walls are
+    * re-checked pair-by-pair; older lines qualify only if their run-best
+    * walls pass — which excludes the round-3 sustained-contention run whose
+    * relative-only rules mis-tagged uniformly-slow pairs quiet). Returns
+    * the most recent `k` qualifying `(ts, efficiency)` pairs.
+    */
+  private[graft] def loadQuietPool(absLo: Double, absHi: Double, turns: Long,
+                            k: Int,
+                            p: java.nio.file.Path = Paths.get("BENCH/HISTORY.jsonl")
+                           ): Vector[(Long, Double)] = {
+    if (!Files.exists(p)) return Vector.empty
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = Files.readAllLines(p)
+    val out = Vector.newBuilder[(Long, Double)]
+    lines.forEach { ln =>
+      val n =
+        try m.readTree(ln)
+        catch { case _: Exception => null }
+      if (n != null && n.has("pairs") && n.has("tags")) {
+        val pipe = if (n.has("pipeline")) n.get("pipeline").asText else "r4"
+        val lineTurns = if (n.has("turns")) n.get("turns").asLong else 12000000L
+        if (pipe == pipelineVersion && lineTurns == turns) {
+          val ts = n.get("ts_ms").asLong
+          val effs = n.get("pairs")
+          val tags = n.get("tags")
+          val pl = n.get("pair_lo") // null on pre-pool lines
+          val ph = n.get("pair_hi")
+          (0 until math.min(effs.size, tags.size)).foreach { i =>
+            val wallsOk =
+              if (pl != null && ph != null)
+                pl.get(i).asDouble <= absLo && ph.get(i).asDouble <= absHi
+              else
+                n.get("sec_lo").asDouble <= absLo && n.get("sec_hi").asDouble <= absHi
+            if (tags.get(i).asText == "quiet" && wallsOk)
+              out += ((ts, effs.get(i).asDouble))
+          }
+        }
+      }
+    }
+    out.result().sortBy(_._1).takeRight(k)
+  }
+
+  /** Field extractor for this file's own flat JSON — values are bare
+    * numbers or simple strings, never nested.
+    */
+  private[graft] def jsField(src: String, key: String): Option[String] = {
+    val m = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\":\"?(-?[A-Za-z0-9._/+-]+)\"?").r.findFirstMatchIn(src)
+    m.map(_.group(1))
+  }
+
+  /** Compact truncation-proof contract line (< ~400 bytes): the full
+    * document with 60 queries is ~3.3 KB and the driver's stdout tail
+    * capture truncated it mid-key two rounds running. Derived from the
+    * full JSON so the watchdog path needs no extra state.
+    */
+  private[graft] def compactLine(json: String): String = {
+    val nQueries = {
+      val i = json.indexOf("\"queries\":{")
+      if (i < 0) 0
+      else {
+        val seg = json.substring(i + 11, math.max(json.indexOf('}', i), i + 11))
+        if (seg.trim.isEmpty) 0 else seg.count(_ == ':')
+      }
+    }
+    def f(k: String, d: String = "null") = jsField(json, k).getOrElse(d)
+    val scaling =
+      if (json.contains("\"scaling\":")) {
+        val s = json.substring(json.indexOf("\"scaling\":"))
+        s""","scaling_efficiency":${jsField(s, "efficiency").getOrElse("null")},""" +
+          s""""window_quality":"${jsField(s, "window_quality").getOrElse("unknown")}",""" +
+          s""""quiet_pool":${jsField(s, "quiet_pool").orElse(jsField(s, "quiet_pairs")).getOrElse("0")}"""
+      } else ""
+    s"""{"metric":"total","value":${f("value", "0")},"unit":"sec",""" +
+      s""""n_queries":$nQueries,"sf":"${f("sf", "?")}",""" +
+      s""""watchdog_fired":${f("watchdog_fired", "false")}$scaling,""" +
+      s""""full":"BENCH/RESULT.json"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -201,11 +307,19 @@ object Bench {
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/RESULT.json"), json + "\n")
     }
+    val wdFired = new AtomicBoolean(false)
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
-      val json = latest.get
+      // watchdog truncation is machine-readable: a consumer of RESULT.json
+      // must be able to tell a clean run from one the watchdog cut short
+      val json =
+        if (wdFired.get) latest.get.replaceFirst("\\{", "{\"watchdog_fired\":true,")
+        else latest.get
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/RESULT.json"), json + "\n")
       println(json)
+      // compact line LAST: the full document is ~3.3 KB and tail-capture
+      // truncation made it unparseable to the driver two rounds running
+      println(compactLine(json))
       System.out.flush()
     }
     // Watchdog: if anything hangs past budget + grace, print what we have
@@ -220,6 +334,7 @@ object Bench {
       System.err.println(
         f"[bench] watchdog: budget ${budget}s + ${grace}s grace exceeded " +
           f"(elapsed $elapsed%.0fs) — emitting partial result")
+      wdFired.set(true)
       emit()
       Runtime.getRuntime.halt(0)
     }, "bench-watchdog")
@@ -308,11 +423,54 @@ object Bench {
     val corpusEstimate = 180.0
     var pairEstimate = 300.0
     if (doScaling && spark == null) spark = session(cpus)
-    if (doScaling && remaining > corpusEstimate + pairEstimate * 1.25 + 30) {
-      // sized so per-run compute dominates fixed overhead AND host noise:
-      // small corpora measured the split planner + scheduling jitter, not
-      // the engine (observed efficiency 0.3 at 1M turns vs 0.73 at 12M)
-      val turns = sys.env.getOrElse("GRAFT_BENCH_TURNS", "12000000").toLong
+    // sized so per-run compute dominates fixed overhead AND host noise:
+    // small corpora measured the split planner + scheduling jitter, not
+    // the engine (observed efficiency 0.3 at 1M turns vs 0.73 at 12M)
+    val turns = sys.env.getOrElse("GRAFT_BENCH_TURNS", "12000000").toLong
+    val (absLo, absHi) = absoluteGates(turns)
+    val poolK = math.max(2, sys.env.getOrElse("GRAFT_BENCH_POOL_K", "8").toInt)
+
+    // Pre-flight canary: a ~40-min scaling run launched into a degraded
+    // window wastes the whole budget and its pairs get refused by the
+    // classification rules anyway (2026-08-17: every probe over a 4-hour
+    // span read 1.3-3× quiet). The two most noise-sensitive cheap headline
+    // queries are re-measured RIGHT before the corpus write — headline
+    // timings are minutes stale by then and the headline burn itself can
+    // deplete the host's burst credits. Thresholds are calibrated to the
+    // sf0.1 fixtures; other SF dirs skip the probe with a note.
+    def canaryOk(): Boolean = {
+      if (sys.env.get("GRAFT_BENCH_CANARY").contains("0")) return true
+      if (!sfDir.contains("sf0.1")) {
+        System.err.println(s"[bench] canary thresholds uncalibrated for $sfDir — skipping probe")
+        return true
+      }
+      val t1Max = sys.env.getOrElse("GRAFT_BENCH_CANARY_T1_SECS", "1.15").toDouble
+      val d3Max = sys.env.getOrElse("GRAFT_BENCH_CANARY_D3_SECS", "0.60").toDouble
+      def probe(name: String): Double = {
+        val fn = SparkEntry.queries(name)
+        (1 to 2).map { _ =>
+          val s0 = System.nanoTime(); fn(spark, sfDir).count()
+          (System.nanoTime() - s0) / 1e9
+        }.min
+      }
+      val t1 = probe("t1_triples_minimal")
+      val d3 = probe("d3_simhash")
+      val ok = t1 <= t1Max && d3 <= d3Max
+      System.err.println(f"[bench] canary t1=$t1%.2fs (max $t1Max%.2f) " +
+        f"d3=$d3%.2fs (max $d3Max%.2f) -> ${if (ok) "quiet" else "degraded — scaling skipped, previous block carried forward"}")
+      if (!ok) {
+        Files.createDirectories(Paths.get("BENCH"))
+        Files.writeString(Paths.get("BENCH/HISTORY.jsonl"),
+          s"""{"ts_ms":${System.currentTimeMillis()},"canary_skip":true,""" +
+            f""""t1":$t1%.3f,"d3":$d3%.3f,"pipeline":"$pipelineVersion"}%n""",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+      ok
+    }
+
+    if (doScaling && remaining > corpusEstimate + pairEstimate * 1.25 + 30
+        && canaryOk()) {
       val corpus = Files.createTempDirectory("graft_bench_corpus").toString
       // 256 output files: parquet splits can't go below a row group, so the
       // file count caps scan parallelism — 32 single-row-group files would
@@ -352,25 +510,21 @@ object Bench {
         System.err.println(s"[bench] budget trimmed scaling to $rep/$maxReps pairs")
 
       if (pairs.nonEmpty) {
-        val tags = classify(pairs, ratio)
+        val tags = classify(pairs, ratio, absLo, absHi)
         val pairEffs = pairs.map(_.eff(ratio))
         val quietEffs = pairEffs.zip(tags).collect { case (e, "quiet") => e }
-        // headline = median over rule-selected QUIET pairs; quorum = 2/3 of
-        // attempted pairs (and at least 2) or the run is flagged
+        // per-run quality (history + wall-display gating): quorum = 2/3 of
+        // attempted pairs (and at least 2) quiet, else limited/degraded
         val quorum = math.max(2, (pairs.size * 2 + 2) / 3)
-        val windowQuality =
+        val runQuality =
           if (quietEffs.size >= quorum) "ok"
           else if (quietEffs.nonEmpty) "limited"
           else "degraded"
-        val eff =
+        val effThisRun =
           if (quietEffs.nonEmpty) median(quietEffs) else median(pairEffs)
-        if (windowQuality != "ok")
-          System.err.println(s"[bench] scaling window $windowQuality: only " +
+        if (runQuality != "ok")
+          System.err.println(s"[bench] scaling window $runQuality: only " +
             s"${quietEffs.size}/${pairs.size} quiet pairs (tags: ${tags.mkString(",")})")
-        val effLooMin =
-          if (quietEffs.size > 1)
-            quietEffs.indices.map(i => median(quietEffs.patch(i, Nil, 1))).min
-          else eff
         val (n8, t8) = samples.filter(_._1 == loCores).map(_._2).minBy(_._2)
         val (n32, t32) = samples.filter(_._1 == hiCores).map(_._2).minBy(_._2)
         require(n8 == n32, s"scaling runs disagree: $n8 vs $n32")
@@ -379,56 +533,93 @@ object Bench {
         val effCross = (tp32 / tp8) / ratio
         val pairEffsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
         val tagsJson = tags.mkString("[\"", "\",\"", "\"]")
-        // keep-best policy: a run in a WORSE host window must not displace
-        // better-quality committed evidence (quality ok > limited >
-        // degraded, ties broken by quiet-pair count). Every attempt still
-        // lands in HISTORY.jsonl; only RESULT.json/BASELINE.md are gated.
-        // GRAFT_BENCH_FORCE_RESULT=1 overrides (e.g. after a code change
-        // that invalidates the old measurement).
-        def qRank(q: String): Int =
-          q match { case "ok" => 2; case "limited" => 1; case _ => 0 }
-        def jsField(src: String, key: String): Option[String] = {
-          val m = ("\"" + key + "\":\"?([a-z0-9.]+)\"?").r.findFirstMatchIn(src)
-          m.map(_.group(1))
-        }
-        val prevQuality = jsField(prevScalingJson, "window_quality")
-        val prevQuiet = jsField(prevScalingJson, "quiet_pairs")
-          .flatMap(_.toIntOption).getOrElse(0)
-        val prevWins = !sys.env.get("GRAFT_BENCH_FORCE_RESULT").contains("1") &&
-          prevQuality.exists { pq =>
-            qRank(pq) > qRank(windowQuality) ||
-              (qRank(pq) == qRank(windowQuality) && prevQuiet > quietEffs.size)
-          }
-        val scalingJson =
-          s""","scaling":{"triples":$n32,"turns":$turns,
-             |"cores_lo":$loCores,"cores_hi":$hiCores,"mode":"$master",
-             |"sec_lo":${f"$t8%.2f"},"sec_hi":${f"$t32%.2f"},
-             |"triples_per_sec_lo":${f"$tp8%.0f"},"triples_per_sec_hi":${f"$tp32%.0f"},
-             |"efficiency":${f"$eff%.3f"},"efficiency_pairs":$pairEffsJson,
-             |"pair_tags":$tagsJson,"window_quality":"$windowQuality",
-             |"quiet_pairs":${quietEffs.size},
-             |"efficiency_loo_min":${f"$effLooMin%.3f"},
-             |"efficiency_cross_window":${f"$effCross%.3f"},
-             |"ambient_load_before":${f"$loadBefore%.2f"}}""".stripMargin.replaceAll("\n", "")
-        if (prevWins)
-          System.err.println(s"[bench] keep-best: this window ($windowQuality, " +
-            s"${quietEffs.size} quiet) is worse than the committed block " +
-            s"(${prevQuality.get}, $prevQuiet quiet) — RESULT.json/BASELINE.md " +
-            "keep the previous measurement; this attempt recorded in HISTORY.jsonl")
-        else snapshot(buildJson(results, scalingJson))
-        // history line so no BASELINE.md rewrite can lose a measurement
+        // history line FIRST (before any gating) so no rewrite can lose a
+        // measurement; per-pair walls recorded so the pool loader can
+        // re-apply the absolute gates exactly on future reads
         Files.createDirectories(Paths.get("BENCH"))
         Files.writeString(Paths.get("BENCH/HISTORY.jsonl"),
-          s"""{"ts_ms":${System.currentTimeMillis()},"eff":${f"$eff%.3f"},
-             |"pairs":$pairEffsJson,"tags":$tagsJson,"quality":"$windowQuality",
+          s"""{"ts_ms":${System.currentTimeMillis()},"eff":${f"$effThisRun%.3f"},
+             |"pairs":$pairEffsJson,"tags":$tagsJson,"quality":"$runQuality",
+             |"pipeline":"$pipelineVersion","turns":$turns,"triples":$n32,
+             |"pair_lo":${pairs.map(p => f"${p.lo}%.2f").mkString("[", ",", "]")},
+             |"pair_hi":${pairs.map(p => f"${p.hi}%.2f").mkString("[", ",", "]")},
              |"ambient_load":${f"$loadBefore%.2f"},"sec_lo":${f"$t8%.2f"},
              |"sec_hi":${f"$t32%.2f"}}""".stripMargin.replaceAll("\n", "") + "\n",
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
-        if (!prevWins)
-          writeBaselineMd(master, loCores, hiCores, turns, n32, t8, t32, tp8, tp32,
-            eff, effLooMin, effCross, pairEffs, tags, quietEffs.size, windowQuality,
-            samples, loadBefore)
+
+        // COMMITTED headline = median over the most recent `poolK` quiet
+        // pairs ACROSS runs (same pipeline version + corpus size, absolute
+        // gates re-applied) — one run rarely catches a quiet window 6
+        // consecutive times on this host, but quiet pairs accumulate.
+        // The pool includes this run's quiet pairs via the line above.
+        val pool = loadQuietPool(absLo, absHi, turns, poolK)
+        val poolEffs = pool.map(_._2)
+        val eff = if (poolEffs.nonEmpty) median(poolEffs) else median(pairEffs)
+        val effLooMin =
+          if (poolEffs.size > 1)
+            poolEffs.indices.map(i => median(poolEffs.patch(i, Nil, 1).toSeq)).min
+          else eff
+        val windowQuality =
+          if (poolEffs.size >= 4) "ok"
+          else if (poolEffs.nonEmpty) "limited"
+          else "degraded"
+
+        // walls keep-best: the displayed throughput rows come from the best
+        // host window on record — a worse-window run keeps contributing its
+        // quiet pairs to the pool but must not displace better-quality wall
+        // numbers (quality ok > limited > degraded, ties by quiet count).
+        // GRAFT_BENCH_FORCE_RESULT=1 overrides after a code change that
+        // invalidates the old measurement.
+        def qRank(q: String): Int =
+          q match { case "ok" => 2; case "limited" => 1; case _ => 0 }
+        val prevWallsQ = jsField(prevScalingJson, "walls_quality")
+          .orElse(jsField(prevScalingJson, "window_quality"))
+        val prevWallsQuiet = jsField(prevScalingJson, "walls_quiet_pairs")
+          .orElse(jsField(prevScalingJson, "quiet_pairs"))
+          .flatMap(_.toIntOption).getOrElse(0)
+        val prevWallFields = Seq("sec_lo", "sec_hi", "triples_per_sec_lo",
+          "triples_per_sec_hi", "triples").map(k => jsField(prevScalingJson, k))
+        val keepPrevWalls =
+          !sys.env.get("GRAFT_BENCH_FORCE_RESULT").contains("1") &&
+            prevWallFields.forall(_.isDefined) &&
+            prevWallsQ.exists { pq =>
+              qRank(pq) > qRank(runQuality) ||
+                (qRank(pq) == qRank(runQuality) && prevWallsQuiet > quietEffs.size)
+            }
+        val (wSecLo, wSecHi, wTpLo, wTpHi, wTriples, wallsQ, wallsQuiet) =
+          if (keepPrevWalls) {
+            System.err.println(s"[bench] keep-best walls: this window ($runQuality, " +
+              s"${quietEffs.size} quiet) is worse than the committed walls " +
+              s"(${prevWallsQ.get}, $prevWallsQuiet quiet) — wall/throughput " +
+              "rows carried forward; this run's quiet pairs still pool")
+            (prevWallFields(0).get.toDouble, prevWallFields(1).get.toDouble,
+              prevWallFields(2).get.toDouble, prevWallFields(3).get.toDouble,
+              prevWallFields(4).get.toLong, prevWallsQ.get, prevWallsQuiet)
+          } else (t8, t32, tp8, tp32, n32, runQuality, quietEffs.size)
+
+        val scalingJson =
+          s""","scaling":{"triples":$wTriples,"turns":$turns,
+             |"cores_lo":$loCores,"cores_hi":$hiCores,"mode":"$master",
+             |"sec_lo":${f"$wSecLo%.2f"},"sec_hi":${f"$wSecHi%.2f"},
+             |"triples_per_sec_lo":${f"$wTpLo%.0f"},"triples_per_sec_hi":${f"$wTpHi%.0f"},
+             |"efficiency":${f"$eff%.3f"},"quiet_pool":${poolEffs.size},
+             |"pool_k":$poolK,"pipeline":"$pipelineVersion",
+             |"efficiency_loo_min":${f"$effLooMin%.3f"},
+             |"window_quality":"$windowQuality",
+             |"efficiency_this_run":${f"$effThisRun%.3f"},
+             |"efficiency_pairs":$pairEffsJson,"pair_tags":$tagsJson,
+             |"this_run_quality":"$runQuality","quiet_pairs":${quietEffs.size},
+             |"walls_quality":"$wallsQ","walls_quiet_pairs":$wallsQuiet,
+             |"efficiency_cross_window":${f"$effCross%.3f"},
+             |"ambient_load_before":${f"$loadBefore%.2f"}}""".stripMargin.replaceAll("\n", "")
+        // always snapshot: the pooled headline is monotone-safe (a bad
+        // window contributes nothing but can't corrupt it)
+        snapshot(buildJson(results, scalingJson))
+        writeBaselineMd(master, loCores, hiCores, turns, wTriples,
+          wSecLo, wSecHi, wTpLo, wTpHi, wallsQ,
+          eff, effLooMin, poolEffs.size, poolK, windowQuality, effCross,
+          pairEffs, tags, runQuality, samples, loadBefore)
       }
     } else if (doScaling) {
       System.err.println(f"[bench] budget too tight for scaling " +
@@ -444,10 +635,11 @@ object Bench {
     * curated narrative lives there and must survive rewrites).
     */
   private def writeBaselineMd(master: String, loCores: Int, hiCores: Int,
-      turns: Long, triples: Long, t8: Double, t32: Double,
-      tp8: Double, tp32: Double, eff: Double, effLooMin: Double,
-      effCross: Double, pairEffs: Seq[Double], tags: Seq[String],
-      quietCount: Int, windowQuality: String,
+      turns: Long, triples: Long, wSecLo: Double, wSecHi: Double,
+      wTpLo: Double, wTpHi: Double, wallsQ: String,
+      eff: Double, effLooMin: Double, poolSize: Int, poolK: Int,
+      windowQuality: String, effCross: Double,
+      pairEffs: Seq[Double], tags: Seq[String], runQuality: String,
       samples: Seq[(Int, (Long, Double))], loadBefore: Double): Unit = {
     def execs(c: Int) = math.max(c / 4, 1)
     val cfg = (c: Int) =>
@@ -485,28 +677,38 @@ object Bench {
          |
          || config | wall sec (best) | triples/sec |
          ||---|---|---|
-         || ${cfg(loCores)} | ${f"$t8%.2f"} | ${f"$tp8%.0f"} |
-         || ${cfg(hiCores)} | ${f"$t32%.2f"} | ${f"$tp32%.0f"} |
+         || ${cfg(loCores)} | ${f"$wSecLo%.2f"} | ${f"$wTpLo%.0f"} |
+         || ${cfg(hiCores)} | ${f"$wSecHi%.2f"} | ${f"$wTpHi%.0f"} |
+         |
+         |(wall/throughput rows from the best host window on record,
+         |quality: $wallsQ — a worse-window attempt contributes its quiet
+         |pairs to the pool below but never displaces these rows)
          |
          |**Scaling efficiency (N → 4N) = ${f"$eff%.3f"}** (target ≥ 0.8),
-         |the MEDIAN over the RULE-SELECTED QUIET pairs ($quietCount of
-         |${pairEffs.size}; window quality: **$windowQuality**). Each
-         |interleaved lo/hi pair shares one noise window, so its ratio is
-         |robust to the host's cross-window throughput drift; pairs are
-         |then classified by executable rules (super-unity ⇒ contaminated,
+         |the MEDIAN over the most recent $poolSize RULE-SELECTED QUIET
+         |pairs pooled ACROSS runs from `BENCH/HISTORY.jsonl` (cap $poolK;
+         |pool quality: **$windowQuality** — ok needs ≥ 4 quiet pairs).
+         |Each interleaved lo/hi pair shares one noise window, so its ratio
+         |is robust to the host's cross-window throughput drift; pairs are
+         |classified by executable rules (super-unity ⇒ contaminated,
          |hi wall ≥ 1.2× run-best ⇒ throttled, lo wall ≥ 1.15× run-best ⇒
-         |contended) and contaminated/contended/throttled pairs are
-         |EXCLUDED from the headline median — the measurement-history
-         |narrative below is now applied mechanically, not by judgment
-         |call. Pairs: $pairRows.
-         |Leave-one-out robustness over the quiet pairs: dropping any
-         |single one keeps the median ≥ ${f"$effLooMin%.3f"}. The
-         |config-wise-best (cross-window) ratio is ${f"$effCross%.3f"},
-         |reported for reference only — its minima can come from different
-         |noise windows. Ambient host load before the run:
-         |${f"$loadBefore%.2f"}.
+         |contended, plus turn-scaled ABSOLUTE wall gates that catch
+         |uniformly-contended runs) and only QUIET pairs pool — one run
+         |rarely catches a quiet window 6 consecutive times on this host,
+         |but quiet evidence accumulates across attempts. Pool lines are
+         |keyed by pipeline version + corpus size, and the absolute gates
+         |are re-applied retroactively on read (per-pair walls are recorded
+         |in every history line going forward).
          |
-         |All samples (interleaved execution order):
+         |This run's pairs ($runQuality): $pairRows.
+         |Leave-one-out robustness over the pooled quiet pairs: dropping
+         |any single one keeps the median ≥ ${f"$effLooMin%.3f"}. The
+         |config-wise-best (cross-window) ratio of THIS run is
+         |${f"$effCross%.3f"}, reported for reference only — its minima can
+         |come from different noise windows. Ambient host load before the
+         |run: ${f"$loadBefore%.2f"}.
+         |
+         |This run's samples (interleaved execution order):
          |
          || rep | config | wall sec | pair tag |
          ||---|---|---|---|
