@@ -111,26 +111,48 @@ object AnnFunctions {
     * the SAME rule `ivfCells` applies at query time) and replaces each
     * centroid with the element-wise mean of its members (an empty cell
     * keeps its previous centroid). Assignment is a map-only pass with the
-    * codebook as a plan reference object; the mean is one (cell, dim) hash
-    * aggregate per round, and only k×dim averages reach the driver.
+    * codebook as a plan reference object; the mean is ONE k-row hash
+    * aggregate per round — `dim` primitive `sum(element_at(emb, i))`
+    * columns plus a count, so the buffer stays all-primitive (whole-stage
+    * HashAggregate fast path), the map side never inflates rows (the
+    * earlier `posexplode` shape multiplied the map side by dim× per
+    * round), and the exchange carries ~k×partitions partial rows instead
+    * of N×dim. Only k×(dim+1) values reach the driver.
     *
     * Floating-point caveat: the mean's summation order is partition-order
     * dependent, so centroids can differ across runs in the last ulps;
     * assignments are stable as long as centroid margins exceed ~1e-12,
     * which holds for any non-degenerate corpus.
     */
+  /** One Lloyd round's aggregate plan: (cell, n, s0..s(dim-1)) — exposed so
+    * the spec can pin the physical shape (no Generate, one exchange of
+    * ~k×partitions partial rows).
+    */
+  private[graft] def trainRound(df: DataFrame, embCol: String,
+                                centroids: Array[Array[Double]]): DataFrame = {
+    val dim = centroids(0).length
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("x"), i + 1)).as(s"s$i"))
+    df.select(element_at(ivfCells(col(embCol), centroids, 1), 1).as("cell"),
+        col(embCol).as("x"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
+  }
+
   def trainCodebook(df: DataFrame, idCol: String, embCol: String,
                     k: Int, iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(embCol).collect().map(_.getSeq[Double](0).toArray)
     require(centroids.length == k, s"corpus smaller than codebook: ${centroids.length} < $k")
+    val dim = centroids(0).length
     for (_ <- 0 until iters) {
       val next = centroids.map(_.clone())
-      df.select(element_at(ivfCells(col(embCol), centroids, 1), 1).as("cell"),
-          posexplode(col(embCol)).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-        .collect()
-        .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      trainRound(df, embCol, centroids).collect()
+        .foreach { r =>
+          val cell = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          (0 until dim).foreach(i => next(cell)(i) = r.getDouble(2 + i) / n)
+        }
       centroids = next
     }
     centroids

@@ -114,4 +114,29 @@ class IvfSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("training round is one k-row hash aggregate — no row inflation") {
+    // the mean must NOT posexplode the corpus (dim× map-side row blowup per
+    // round): the plan is scan → project(cell, emb) → partial HashAggregate
+    // → single exchange of ~k×partitions rows → final HashAggregate
+    val qe = AnnFunctions.trainRound(base, "embedding", centroids).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    // and the values it feeds trainCodebook are the member means
+    val rows = AnnFunctions.trainRound(base, "embedding", centroids).collect()
+    rows.foreach { r =>
+      val cell = r.getInt(0)
+      val members = (0 until N).map(vec).filter(v =>
+        centroids.indices.minBy(c => (-cosine(v, centroids(c)), c)) == cell)
+      assert(r.getLong(1) == members.size, s"cell $cell count")
+      (0 until Dim).foreach { j =>
+        val mean = members.map(_(j)).sum / members.size
+        assert(math.abs(r.getDouble(2 + j) / r.getLong(1) - mean) < 1e-9,
+          s"cell $cell dim $j")
+      }
+    }
+  }
 }
