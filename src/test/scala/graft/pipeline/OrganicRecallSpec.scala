@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import graft.functions.{AnnFunctions, DedupFunctions}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured ORGANIC recall of the two 100 TB-configuration blocking plans on
+  * the real sf0.1 fixtures (not synthetic borderline corpora, not planted
+  * copies): the capped low-threshold Jaccard join and the trained-codebook
+  * IVF probe. Both scale arguments previously rested on bound arguments /
+  * planted pairs only; these tests commit actual numbers. Skipped cleanly
+  * when the sf0.1 fixtures are absent.
+  */
+class OrganicRecallSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+
+  private val SfDir = "/root/testdata/sf0.1"
+  private def haveSf01 = java.nio.file.Files.exists(java.nio.file.Paths.get(SfDir))
+  private def table(name: String): DataFrame =
+    spark.read.parquet(s"$SfDir/$name.parquet")
+
+  test("d4 capped (cap=32) organic recall vs uncapped truth at t=0.12, sf0.1") {
+    assume(haveSf01, s"$SfDir not present")
+    import spark.implicits._
+    val docs = table("documents")
+    def pairs(cap: Option[Long]): Set[(Long, Long)] =
+      DedupFunctions.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.12, dfCap = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = pairs(None) // exact uncapped join IS the ground truth
+    val capped = pairs(Some(32L)) // the driver's 100 TB configuration
+    assert(truth.nonEmpty, "sf0.1 corpus has no organic pairs at t=0.12")
+    // the cap rule only ever DROPS candidates; verify is exact either way
+    assert(capped.subsetOf(truth), "capped plan emitted a non-truth pair")
+    val recall = capped.size.toDouble / truth.size
+    info(f"d4 capped organic recall: ${capped.size}/${truth.size} = $recall%.4f")
+    // committed floor (measured 2026-08-18): on the organic sf0.1 corpus
+    // every t>=0.12 pair shares at least one sub-cap shingle — the
+    // "all-overlap-is-stop-shingles" miss mode needs near-duplicate
+    // boilerplate docs, which organic text doesn't produce
+    assert(recall >= 0.99, f"capped recall $recall%.4f below committed floor")
+  }
+
+  test("IVF organic recall@10 with the TRAINED codebook at nprobe in {1,3,5}, sf0.1") {
+    assume(haveSf01, s"$SfDir not present")
+    import spark.implicits._
+    val emb = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    // same training configuration as the driver query (s3_ann_ivf)
+    val centroids = AnnFunctions.trainCodebook(emb, "vec_id", "embedding",
+      k = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 100)
+    val k = 10
+    val truth = AnnFunctions.bruteForceTopK(queries, emb,
+        "vec_id", "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(truth.size == 100 * k, s"brute truth incomplete: ${truth.size}")
+    val recalls = Seq(1, 3, 5, 16).map { nprobe =>
+      val got = AnnFunctions.ivfTopK(queries, emb,
+          "vec_id", "vec_id", "embedding", k, centroids, nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val r = got.intersect(truth).size.toDouble / truth.size
+      info(f"IVF organic recall@$k nprobe=$nprobe: $r%.4f")
+      nprobe -> r
+    }
+    // more probes never lose candidates (cells are a superset)
+    assert(recalls.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a },
+      recalls.toString)
+    // Committed curve (measured 2026-08-18, k=16 trained codebook over the
+    // 2000 organic sf0.1 vectors): 0.32 / 0.52 / 0.66 at nprobe 1/3/5.
+    // These embeddings are near-uniform on the sphere — IVF's worst case,
+    // since true neighbors at moderate cosine scatter across cells (the
+    // planted-copy oracle pairs sit at cosine ~0.999 and co-locate, recall
+    // 1.0). The honest statement for the 100 TB path: on unclustered data
+    // the nprobe knob trades candidates for recall all the way to exact —
+    // probing ALL cells must reproduce brute force bit-for-bit.
+    val byProbe = recalls.toMap
+    assert(byProbe(1) >= 0.25, f"nprobe=1 recall ${byProbe(1)}%.4f below floor")
+    assert(byProbe(3) >= 0.45, f"nprobe=3 recall ${byProbe(3)}%.4f below floor")
+    assert(byProbe(5) >= 0.58, f"nprobe=5 recall ${byProbe(5)}%.4f below floor")
+    assert(byProbe(16) == 1.0, f"nprobe=k must equal brute force, got ${byProbe(16)}%.4f")
+  }
+}
