@@ -533,6 +533,19 @@ object SparkEntry {
         Multimodal.decode(Multimodal.withSyntheticPayload(t(s, d, "documents"), "doc_id")),
         maxSide = 256)),
 
+    // REAL pixel leg driven end-to-end: complete decodable PNGs (bounded
+    // slice — rasters are expensive to synthesize) → header dims → bilinear
+    // resample through the JDK codec → PNG re-encode, one map stage. The
+    // oracle predicts the emitted dims from the planted formula; pixel
+    // correctness is spec-pinned (PipelineSpec real-pixel round trip)
+    "m4_resize_reencode" -> ((s, d) =>
+      Multimodal.resizeImages(
+        Multimodal.withSyntheticPayload(
+          t(s, d, "documents").filter(col("doc_id") < 300), "doc_id",
+          realPixels = true),
+        maxSide = 64)
+        .toDF().select(col("doc_id"), col("out_width"), col("out_height"))),
+
     // ---- streaming ingest (file source → watermark window agg → memory sink)
     "str1_stream_counts" -> ((s, d) => {
       val tmp = streamFixture(s, d)
@@ -1605,6 +1618,15 @@ object SparkEntry {
         |    ELSE greatest(floor(h * 256 / greatest(w, h)), 1) END AS INT) AS out_height
         |FROM (SELECT doc_id, (doc_id * 7) % 512 + 16 AS w, (doc_id * 13) % 512 + 16 AS h
         |      FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+
+    "m4_resize_reencode" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN greatest(w, h) <= 64 THEN w
+        |    ELSE greatest(floor(w * 64 / greatest(w, h)), 1) END AS INT) AS out_width,
+        |  CAST(CASE WHEN greatest(w, h) <= 64 THEN h
+        |    ELSE greatest(floor(h * 64 / greatest(w, h)), 1) END AS INT) AS out_height
+        |FROM (SELECT doc_id, (doc_id * 7) % 512 + 16 AS w, (doc_id * 13) % 512 + 16 AS h
+        |      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300)""".stripMargin,
 
     "k1_salted_agg" ->
       s"""$trCte

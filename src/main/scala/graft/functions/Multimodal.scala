@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * The decode is REAL binary parsing of three public container formats —
   * PNG (IHDR, big-endian), WAV (RIFF/fmt/data, little-endian) and AVI
   * (RIFF/avih main header, little-endian) — sniffed by magic bytes, not by
-  * trusting any metadata column. Full-frame pixel/sample decoding would
-  * need codec libraries this container doesn't ship; header/metadata
-  * extraction is the portion that is honestly implementable and is what the
-  * schema/partitioning plumbing is exercised with. A full codec drops into
-  * [[decode]]'s per-partition loop without touching the plan.
+  * trusting any metadata column. PNG additionally gets a REAL pixel path
+  * through the JDK's own codec ([[resamplePng]]: `javax.imageio` decode →
+  * bilinear resample → re-encode), so the image resize leg round-trips
+  * actual rasters. WAV/AVI sample/frame decoding stays header-level — those
+  * codecs aren't in the JDK — and a full codec drops into the same
+  * per-partition loops without touching any plan.
   */
 object Multimodal {
 
@@ -48,6 +49,60 @@ object Multimodal {
   def pngBytes(width: Int, height: Int): Array[Byte] =
     PngSig ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++
       be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0)
+
+  /** COMPLETE decodable PNG with deterministic pixels (RGB gradient keyed by
+    * `seed`), via the JDK's own codec (`javax.imageio`) — the real-pixel
+    * counterpart of the header-only [[pngBytes]] for byte-level round-trip
+    * tests. Pixel (x, y) = (x-gradient, y-gradient, seed-hash) so resampling
+    * results are visually and statistically checkable.
+    */
+  def pngBytesReal(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = x * 255 / math.max(width - 1, 1)
+        val g = y * 255 / math.max(height - 1, 1)
+        val b = (seed * 31 + x + y) & 0xff
+        row(x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      img.setRGB(0, y, width, 1, row, 0, width)
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real pixel resampling: decode a complete PNG (or any ImageIO-readable
+    * payload), bilinear-resample to (ow, oh) on a `Graphics2D`, re-encode as
+    * PNG — all public JDK (`javax.imageio` + `java.awt.image`), no external
+    * codec. `None` when the payload isn't a decodable raster (e.g. the
+    * header-only container prefixes [[pngBytes]] emits), so callers can fall
+    * back to container-level re-encode for metadata-only corpora.
+    */
+  private[graft] def resamplePng(b: Array[Byte], ow: Int, oh: Int): Option[Array[Byte]] =
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(ow, oh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, ow, oh, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Some(out.toByteArray)
+      }
+    } catch { case _: Exception => None }
 
   /** Minimal valid WAV: RIFF/WAVE with a PCM fmt chunk and an empty-bodied
     * data chunk declaring `samples` frames.
@@ -133,12 +188,18 @@ object Multimodal {
     * WAV / AVI round-robin, with header fields that are pure integer
     * functions of the key — so an oracle can predict the decoded metadata
     * and thereby verify the byte-level encode→parse round trip.
+    * `realPixels = true` emits COMPLETE decodable PNGs ([[pngBytesReal]],
+    * same dims formula) so downstream legs exercise actual rasters — more
+    * expensive per row, so driver queries bound the slice they apply it to.
     */
-  def withSyntheticPayload(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+  def withSyntheticPayload(df: DataFrame, idCol: String,
+                           realPixels: Boolean = false): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("doc_id")).as[Long].map { id =>
       val payload = (id % 3) match {
-        case 0 => pngBytes((id * 7 % 512 + 16).toInt, (id * 13 % 512 + 16).toInt)
+        case 0 =>
+          val (w, h) = ((id * 7 % 512 + 16).toInt, (id * 13 % 512 + 16).toInt)
+          if (realPixels) pngBytesReal(w, h, seed = id.toInt) else pngBytes(w, h)
         case 1 => wavBytes((8000 + id % 5 * 8000).toInt, (id % 2 + 1).toInt, (id % 1000 + 1).toInt)
         case _ => aviBytes((id * 7 % 512 + 16).toInt, (id * 13 % 512 + 16).toInt, (id % 240 + 1).toInt)
       }
@@ -207,18 +268,56 @@ object Multimodal {
   final case class ResizedRow(doc_id: Long, out_width: Int, out_height: Int,
     payload: Array[Byte])
 
-  /** Byte-level re-encode of a [[resizePlan]] output: emits a real PNG
-    * container at the target dims per image, partition-batched so codec
-    * state would initialize once per partition (pixel resampling is the
-    * stubbed step — the container round-trips through [[decodeHeader]]).
+  /** Byte-level re-encode of a [[resizePlan]] output. When the input
+    * carries a `payload` column with decodable rasters, pixels are REALLY
+    * resampled ([[resamplePng]]: ImageIO decode → bilinear `Graphics2D` →
+    * PNG encode); header-only container prefixes (metadata corpora) fall
+    * back to a container-level PNG at the target dims. Partition-batched:
+    * one map stage, no shuffle — codec state amortizes per partition.
     */
   def reencode(plan: DataFrame): Dataset[ResizedRow] = {
     import plan.sparkSession.implicits._
-    plan.select(col("doc_id").cast("long"), col("out_width").cast("int"),
-        col("out_height").cast("int")).as[(Long, Int, Int)]
+    if (plan.columns.contains("payload"))
+      plan.select(col("doc_id").cast("long"), col("out_width").cast("int"),
+          col("out_height").cast("int"), col("payload")).as[(Long, Int, Int, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, ow, oh, payload) =>
+            ResizedRow(id, ow, oh,
+              resamplePng(payload, ow, oh).getOrElse(pngBytes(ow, oh)))
+          }
+        }
+    else
+      plan.select(col("doc_id").cast("long"), col("out_width").cast("int"),
+          col("out_height").cast("int")).as[(Long, Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, ow, oh) => ResizedRow(id, ow, oh, pngBytes(ow, oh)) }
+        }
+  }
+
+  /** End-to-end byte leg: image payloads → header dims → aspect-preserving
+    * fit (the same floor-scaled rational [[resizePlan]] plans, in exact
+    * integer math) → real pixel resample + PNG re-encode. ONE map stage —
+    * dims, resample, and encode all happen in the same partition pass, no
+    * shuffle, payloads never ship twice.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[ResizedRow] = {
+    require(maxSide >= 1, s"maxSide must be >= 1: $maxSide")
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "image").as[MediaRow]
       .mapPartitions { it =>
-        // real impl note: the image codec/context would initialize here
-        it.map { case (id, ow, oh) => ResizedRow(id, ow, oh, pngBytes(ow, oh)) }
+        it.flatMap { m =>
+          val (kind, w, h, _) = decodeHeader(m.payload)
+          if (kind != "image" || w <= 0 || h <= 0) None
+          else {
+            val long = math.max(w, h)
+            def fit(s: Int): Int =
+              if (long <= maxSide) s
+              else math.max((s.toLong * maxSide / long).toInt, 1)
+            val (ow, oh) = (fit(w), fit(h))
+            Some(ResizedRow(m.doc_id, ow, oh,
+              resamplePng(m.payload, ow, oh).getOrElse(pngBytes(ow, oh))))
+          }
+        }
       }
   }
 }

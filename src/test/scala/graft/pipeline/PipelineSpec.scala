@@ -326,6 +326,63 @@ class FunctionsSpec extends AnyFunSuite {
       assert(Multimodal.decodeHeader(r.payload) == (("image", r.out_width, r.out_height, 1)))
     }
   }
+
+  test("resizeImages: REAL pixels resample through the JDK codec end-to-end") {
+    import javax.imageio.ImageIO
+    // complete decodable PNGs (x/y gradient rasters), one over and one
+    // under the cap, distributed through the full Spark byte leg
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.pngBytesReal(96, 48, seed = 7)),
+      Multimodal.MediaRow(2L, "image", Multimodal.pngBytesReal(20, 10, seed = 9)),
+      Multimodal.MediaRow(3L, "audio", Multimodal.wavBytes(8000, 1, 10))).toDS()
+    val rows = Multimodal.resizeImages(media, maxSide = 32)
+      .collect().sortBy(_.doc_id)
+    assert(rows.map(_.doc_id).toSeq == Seq(1L, 2L)) // audio filtered out
+    val big = rows(0)
+    assert((big.out_width, big.out_height) == ((32, 16)))
+    // the payload is a REAL raster at the target dims, not a bare header
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(big.payload))
+    assert(img != null && img.getWidth == 32 && img.getHeight == 16)
+    // bilinear downsample of an x-gradient keeps the gradient: red channel
+    // rises left->right, green rises top->bottom (order is preserved even
+    // though exact values are interpolated)
+    def rgb(x: Int, y: Int) = {
+      val p = img.getRGB(x, y); ((p >> 16) & 0xff, (p >> 8) & 0xff)
+    }
+    assert(rgb(0, 0)._1 < rgb(16, 0)._1 && rgb(16, 0)._1 < rgb(31, 0)._1,
+      s"red gradient lost: ${rgb(0, 0)} ${rgb(16, 0)} ${rgb(31, 0)}")
+    assert(rgb(0, 0)._2 < rgb(0, 8)._2 && rgb(0, 8)._2 < rgb(0, 15)._2,
+      s"green gradient lost: ${rgb(0, 0)} ${rgb(0, 8)} ${rgb(0, 15)}")
+    // pass-through image keeps its dims and decodes losslessly to the
+    // SAME pixels (PNG is lossless; resample to identical dims is bilinear
+    // identity at the grid points)
+    val small = rows(1)
+    assert((small.out_width, small.out_height) == ((20, 10)))
+    val simg = ImageIO.read(new java.io.ByteArrayInputStream(small.payload))
+    val orig = ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.pngBytesReal(20, 10, seed = 9)))
+    val same = (0 until 10).forall(y => (0 until 20).forall(x =>
+      (simg.getRGB(x, y) & 0xffffff) == (orig.getRGB(x, y) & 0xffffff)))
+    assert(same, "identity resample must preserve pixels exactly")
+    // determinism: the whole leg is byte-stable run to run
+    val again = Multimodal.resizeImages(media, maxSide = 32)
+      .collect().sortBy(_.doc_id)
+    assert(again(0).payload.sameElements(big.payload))
+  }
+
+  test("reencode uses real pixels when the plan carries payloads") {
+    val payload = Multimodal.pngBytesReal(64, 64, seed = 3)
+    val plan = Seq((5L, 16, 16, payload))
+      .toDF("doc_id", "out_width", "out_height", "payload")
+    val r = Multimodal.reencode(plan).collect().head
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    // header-only payloads still fall back to the container-level encode
+    val fallback = Seq((6L, 8, 8, Multimodal.pngBytes(64, 64)))
+      .toDF("doc_id", "out_width", "out_height", "payload")
+    val fb = Multimodal.reencode(fallback).collect().head
+    assert(Multimodal.decodeHeader(fb.payload) == (("image", 8, 8, 1)))
+  }
 }
 
 class CsvwDiscoverSpec extends AnyFunSuite {
