@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable plan-regression guard for the headline queries: the PLANS.md
+  * exchange audit as assertions. A future change that adds a shuffle (or
+  * degrades a hash aggregate to a sort aggregate, or turns an equi-join
+  * into a cartesian) fails the suite instead of surfacing as a bench delta
+  * in a noisy host window. Budgets are the AUDITED shuffle counts of the
+  * committed plans — equality, not upper bounds, so an accidental
+  * improvement is re-audited too.
+  */
+class HeadlinePlanSpec extends AnyFunSuite {
+  lazy val spark = graft.mapper.TestSpark.spark
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  /** name -> (shuffle budget, broadcast budget). Streaming queries are
+    * excluded (plans only exist per microbatch); j4 is iterative (per-round
+    * plans, audited in DedupScaleSpec's convergence tests); s1 is the
+    * documented brute-force cartesian baseline.
+    */
+  private val budgets: Seq[(String, Int, Int)] = Seq(
+    ("t1_triples_minimal", 1, 0),
+    ("t2_rdf_list", 0, 0),
+    ("t3_triples_standard", 1, 0),
+    ("g1_graph_materialize", 2, 0),
+    ("q1_agg", 1, 0),
+    ("q3_window", 1, 0),
+    ("k1_salted_agg", 3, 0),
+    ("j3_entity_link", 2, 1),
+    ("d1_dedup_exact", 1, 0),
+    ("d3_simhash", 2, 1),
+    ("d4_ngram_jaccard", 1, 1),
+    ("d4_jaccard_capped", 8, 10),
+    ("d5_embedding_dup", 1, 3),
+    ("s2_ann_lsh", 2, 3),
+    ("s7_json_minimal", 1, 0),
+    ("x5_token_bpe", 0, 0),
+    ("x6_stratified_sample", 0, 0),
+    ("m4_resize_reencode", 0, 0))
+
+  budgets.foreach { case (name, shuffleBudget, broadcastBudget) =>
+    test(s"$name: shuffle budget $shuffleBudget, broadcast budget $broadcastBudget") {
+      val df = graft.SparkEntry.queries(name)(spark, Sf)
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")
+          && !l.contains("ReusedExchange"))
+      val broadcasts = plan.linesIterator.count(l =>
+        l.contains("BroadcastExchange"))
+      info(s"$name shuffles=$shuffles broadcasts=$broadcasts")
+      assert(shuffles == shuffleBudget,
+        s"$name: expected $shuffleBudget shuffles, got $shuffles\n$plan")
+      assert(broadcasts == broadcastBudget,
+        s"$name: expected $broadcastBudget broadcasts, got $broadcasts\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // dedup/agg stages must stay hash-based — a sort aggregate on a
+      // data-scale key is the round-1 regression this suite exists to catch
+      assert(!plan.contains("SortAggregate"), plan)
+    }
+  }
+}
