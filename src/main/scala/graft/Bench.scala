@@ -444,8 +444,14 @@ object Bench {
         System.err.println(s"[bench] canary thresholds uncalibrated for $sfDir — skipping probe")
         return true
       }
-      val t1Max = sys.env.getOrElse("GRAFT_BENCH_CANARY_T1_SECS", "1.15").toDouble
-      val d3Max = sys.env.getOrElse("GRAFT_BENCH_CANARY_D3_SECS", "0.60").toDouble
+      // defaults are the CLEARLY-hopeless line (~1.6x quiet: quiet mins
+      // are ~0.9/0.5 s): the classification rules + keep-best gate already
+      // protect the committed numbers, so the canary only exists to stop a
+      // run from burning its whole budget in a window where no pair could
+      // classify quiet. Manual launches use stricter values via env
+      // (t1<=1.15/d3<=0.60 per the round-4 launch rule).
+      val t1Max = sys.env.getOrElse("GRAFT_BENCH_CANARY_T1_SECS", "1.5").toDouble
+      val d3Max = sys.env.getOrElse("GRAFT_BENCH_CANARY_D3_SECS", "0.9").toDouble
       def probe(name: String): Double = {
         val fn = SparkEntry.queries(name)
         (1 to 2).map { _ =>
