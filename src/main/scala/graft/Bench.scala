@@ -475,8 +475,12 @@ object Bench {
       ok
     }
 
-    if (doScaling && remaining > corpusEstimate + pairEstimate * 1.25 + 30
-        && canaryOk()) {
+    val scalingFits = doScaling &&
+      remaining > corpusEstimate + pairEstimate * 1.25 + 30
+    if (doScaling && !scalingFits)
+      System.err.println(f"[bench] budget too tight for scaling " +
+        f"(${remaining}%.0fs left, need ~${corpusEstimate + pairEstimate * 1.25 + 30}%.0f) — carrying previous block forward")
+    if (scalingFits && canaryOk()) {
       val corpus = Files.createTempDirectory("graft_bench_corpus").toString
       // 256 output files: parquet splits can't go below a row group, so the
       // file count caps scan parallelism — 32 single-row-group files would
@@ -627,9 +631,6 @@ object Bench {
           eff, effLooMin, poolEffs.size, poolK, windowQuality, effCross,
           pairEffs, tags, runQuality, samples, loadBefore)
       }
-    } else if (doScaling) {
-      System.err.println(f"[bench] budget too tight for scaling " +
-        f"(${remaining}%.0fs left, need ~${corpusEstimate + pairEstimate * 1.25 + 30}%.0f) — carrying previous block forward")
     }
 
     if (spark != null) spark.stop()
