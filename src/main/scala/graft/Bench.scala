@@ -354,12 +354,17 @@ object Bench {
       val (qs, cold, total) =
         if (results.isEmpty && !doHeadline) {
           // headline-skip mode carries the previous headline forward
+          // (warm queries, cold first-reps, and the total — a scaling-only
+          // run must not erase the committed headline evidence)
           val qi = prevResult.indexOf("\"queries\":")
           val qj = if (qi >= 0) prevResult.indexOf('}', qi) else -1
+          val ci = prevResult.indexOf("\"queries_cold\":")
+          val cj = if (ci >= 0) prevResult.indexOf('}', ci) else -1
           val vi = prevResult.indexOf("\"value\":")
           val vj = if (vi >= 0) prevResult.indexOf(',', vi) else -1
           if (qj >= 0 && vj >= 0)
-            (prevResult.substring(qi + 10, qj + 1), "{}",
+            (prevResult.substring(qi + 10, qj + 1),
+             if (cj >= 0) prevResult.substring(ci + 15, cj + 1) else "{}",
              prevResult.substring(vi + 8, vj).toDouble)
           else ("{}", "{}", 0.0)
         } else (
@@ -420,7 +425,6 @@ object Bench {
     // ---- part 2: scaling evidence (N vs 4N cores, same input) ----------
     // estimated costs (measured round 3 on this host): corpus write ~150 s,
     // one interleaved lo+hi pair ~300 s; refined with live measurements
-    val corpusEstimate = 180.0
     var pairEstimate = 300.0
     if (doScaling && spark == null) spark = session(cpus)
     // sized so per-run compute dominates fixed overhead AND host noise:
@@ -429,6 +433,19 @@ object Bench {
     val turns = sys.env.getOrElse("GRAFT_BENCH_TURNS", "12000000").toLong
     val (absLo, absHi) = absoluteGates(turns)
     val poolK = math.max(2, sys.env.getOrElse("GRAFT_BENCH_POOL_K", "8").toInt)
+
+    // Persistent corpus (GRAFT_BENCH_CORPUS_DIR): the deterministic 12M-turn
+    // corpus write is a ~180 s 32-core burn that depletes the host's burst
+    // credits right before the pairs it's supposed to serve — on a
+    // credit-throttled VM that alone can push the first pair out of the
+    // quiet gates. Reusing a corpus generated in an earlier attempt makes
+    // repeated scaling attempts both cheaper and cleaner. Keyed by turn
+    // count; _SUCCESS marks a complete write (Spark's own commit marker).
+    val corpusPersist: Option[String] =
+      sys.env.get("GRAFT_BENCH_CORPUS_DIR").map(b => s"$b/turns_$turns")
+    val corpusReusable: Boolean =
+      corpusPersist.exists(p => Files.exists(Paths.get(p, "_SUCCESS")))
+    val corpusEstimate = if (corpusReusable) 5.0 else 180.0
 
     // Pre-flight canary: a ~40-min scaling run launched into a degraded
     // window wastes the whole budget and its pairs get refused by the
@@ -475,19 +492,40 @@ object Bench {
       ok
     }
 
-    val scalingFits = doScaling &&
+    // GRAFT_BENCH_CORPUS_ONLY=1: generate/refresh the persistent corpus and
+    // exit without measuring — lets the expensive burn be scheduled apart
+    // from the noise-sensitive pair runs.
+    val corpusOnly = sys.env.get("GRAFT_BENCH_CORPUS_ONLY").contains("1")
+    if (corpusOnly) corpusPersist match {
+      case Some(dir) =>
+        if (!corpusReusable) {
+          if (spark == null) spark = session(cpus)
+          graft.sources.TranscriptGen.transcripts(spark, turns)
+            .repartition(256).write.mode("overwrite").parquet(dir)
+        }
+        System.err.println(s"[bench] corpus ready at $dir (GRAFT_BENCH_CORPUS_ONLY)")
+      case None =>
+        System.err.println("[bench] GRAFT_BENCH_CORPUS_ONLY requires GRAFT_BENCH_CORPUS_DIR")
+    }
+
+    val scalingFits = doScaling && !corpusOnly &&
       remaining > corpusEstimate + pairEstimate * 1.25 + 30
-    if (doScaling && !scalingFits)
+    if (doScaling && !corpusOnly && !scalingFits)
       System.err.println(f"[bench] budget too tight for scaling " +
         f"(${remaining}%.0fs left, need ~${corpusEstimate + pairEstimate * 1.25 + 30}%.0f) — carrying previous block forward")
     if (scalingFits && canaryOk()) {
-      val corpus = Files.createTempDirectory("graft_bench_corpus").toString
-      // 256 output files: parquet splits can't go below a row group, so the
-      // file count caps scan parallelism — 32 single-row-group files would
-      // make the 32-thread run a single straggler-bound task wave
-      graft.sources.TranscriptGen.transcripts(spark, turns)
-        .repartition(256)
-        .write.mode("overwrite").parquet(corpus)
+      val corpus = corpusPersist
+        .getOrElse(Files.createTempDirectory("graft_bench_corpus").toString)
+      if (corpusReusable) {
+        System.err.println(s"[bench] reusing corpus at $corpus")
+      } else {
+        // 256 output files: parquet splits can't go below a row group, so
+        // the file count caps scan parallelism — 32 single-row-group files
+        // would make the 32-thread run a single straggler-bound task wave
+        graft.sources.TranscriptGen.transcripts(spark, turns)
+          .repartition(256)
+          .write.mode("overwrite").parquet(corpus)
+      }
       spark.stop(); spark = null
 
       // Default mode is a REAL local cluster (GRAFT_BENCH_MASTER=lc):
