@@ -441,8 +441,13 @@ object Bench {
     // quiet gates. Reusing a corpus generated in an earlier attempt makes
     // repeated scaling attempts both cheaper and cleaner. Keyed by turn
     // count; _SUCCESS marks a complete write (Spark's own commit marker).
+    // keyed by turn count AND pipeline version: corpus content depends only
+    // on TranscriptGen, but the version stamp is the cheap over-approximate
+    // invalidation for generator changes
     val corpusPersist: Option[String] =
-      sys.env.get("GRAFT_BENCH_CORPUS_DIR").map(b => s"$b/turns_$turns")
+      sys.env.get("GRAFT_BENCH_CORPUS_DIR").orElse(Some("/tmp/graft_corpus"))
+        .filter(_.nonEmpty)
+        .map(b => s"$b/turns_${turns}_$pipelineVersion")
     val corpusReusable: Boolean =
       corpusPersist.exists(p => Files.exists(Paths.get(p, "_SUCCESS")))
     val corpusEstimate = if (corpusReusable) 5.0 else 180.0
