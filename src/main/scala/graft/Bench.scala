@@ -153,16 +153,19 @@ object Bench {
 
   /** Absolute quiet gates: quiet windows for the default 12M-turn corpus
     * measure lo ≤ ~80 s / hi ≤ ~25 s (~6% tolerance applied). The corpus
-    * cost is linear in turns, so the defaults scale with the configured
-    * turn count instead of silently tagging every pair of a smaller corpus
-    * contended/throttled; env overrides win when set.
+    * cost is linear in turns, so the gates scale with the configured turn
+    * count instead of silently tagging every pair of a smaller corpus
+    * contended/throttled. Env overrides `GRAFT_BENCH_QUIET_{LO,HI}_SECS`
+    * are 12M-turn-calibrated values and scale by the SAME turns ratio —
+    * an override tuned at one corpus size stays correct at another, and
+    * the pool loader re-applies identical gates to historic lines.
     */
   private[graft] def absoluteGates(turns: Long): (Double, Double) = {
     val scale = turns.toDouble / 12000000.0
     val absLo = sys.env.get("GRAFT_BENCH_QUIET_LO_SECS").map(_.toDouble)
-      .getOrElse(85.0 * scale)
+      .getOrElse(85.0) * scale
     val absHi = sys.env.get("GRAFT_BENCH_QUIET_HI_SECS").map(_.toDouble)
-      .getOrElse(26.5 * scale)
+      .getOrElse(26.5) * scale
     (absLo, absHi)
   }
 
@@ -189,15 +192,23 @@ object Bench {
   /** Quiet pairs pooled ACROSS runs from `BENCH/HISTORY.jsonl` — one run
     * rarely catches a quiet window 6 consecutive times on this host, but
     * quiet pairs accumulate across attempts. Only lines of the current
-    * [[pipelineVersion]] and corpus size qualify; the absolute quiet gates
-    * are re-applied retroactively (lines recording per-pair walls are
-    * re-checked pair-by-pair; older lines qualify only if their run-best
-    * walls pass — which excludes the round-3 sustained-contention run whose
-    * relative-only rules mis-tagged uniformly-slow pairs quiet). Returns
-    * the most recent `k` qualifying `(ts, efficiency)` pairs.
+    * [[pipelineVersion]], corpus size, AND measurement config (cores_lo /
+    * cores_hi / master mode — a 2,4 pair's walls would trivially pass the
+    * 4,16-calibrated gates and its ratio measures a different scaling
+    * claim) qualify; lines without config fields predate the stamp and
+    * belong to the 4,16 "lc" default every historic run used. The absolute
+    * quiet gates are re-applied retroactively (lines recording per-pair
+    * walls are re-checked pair-by-pair; older lines qualify only if their
+    * run-best walls pass — which excludes the round-3 sustained-contention
+    * run whose relative-only rules mis-tagged uniformly-slow pairs quiet).
+    * A malformed line (missing required fields) is skipped, never fatal —
+    * an NPE here would lose a whole ~40-minute run's emit. Returns the
+    * most recent `k` qualifying `(ts, efficiency)` pairs.
     */
   private[graft] def loadQuietPool(absLo: Double, absHi: Double, turns: Long,
                             k: Int,
+                            coresLo: Int = 4, coresHi: Int = 16,
+                            mode: String = "lc",
                             p: java.nio.file.Path = Paths.get("BENCH/HISTORY.jsonl")
                            ): Vector[(Long, Double)] = {
     if (!Files.exists(p)) return Vector.empty
@@ -205,29 +216,36 @@ object Bench {
     val lines = Files.readAllLines(p)
     val out = Vector.newBuilder[(Long, Double)]
     lines.forEach { ln =>
-      val n =
-        try m.readTree(ln)
-        catch { case _: Exception => null }
-      if (n != null && n.has("pairs") && n.has("tags")) {
-        val pipe = if (n.has("pipeline")) n.get("pipeline").asText else "r4"
-        val lineTurns = if (n.has("turns")) n.get("turns").asLong else 12000000L
-        if (pipe == pipelineVersion && lineTurns == turns) {
-          val ts = n.get("ts_ms").asLong
-          val effs = n.get("pairs")
-          val tags = n.get("tags")
-          val pl = n.get("pair_lo") // null on pre-pool lines
-          val ph = n.get("pair_hi")
-          (0 until math.min(effs.size, tags.size)).foreach { i =>
-            val wallsOk =
-              if (pl != null && ph != null)
-                pl.get(i).asDouble <= absLo && ph.get(i).asDouble <= absHi
-              else
-                n.get("sec_lo").asDouble <= absLo && n.get("sec_hi").asDouble <= absHi
-            if (tags.get(i).asText == "quiet" && wallsOk)
-              out += ((ts, effs.get(i).asDouble))
+      try {
+        val n = m.readTree(ln)
+        if (n != null && n.has("pairs") && n.has("tags") && n.has("ts_ms")) {
+          val pipe = if (n.has("pipeline")) n.get("pipeline").asText else "r4"
+          val lineTurns = if (n.has("turns")) n.get("turns").asLong else 12000000L
+          val lineCoresLo = if (n.has("cores_lo")) n.get("cores_lo").asInt else 4
+          val lineCoresHi = if (n.has("cores_hi")) n.get("cores_hi").asInt else 16
+          val lineMode = if (n.has("mode")) n.get("mode").asText else "lc"
+          if (pipe == pipelineVersion && lineTurns == turns &&
+              lineCoresLo == coresLo && lineCoresHi == coresHi &&
+              lineMode == mode) {
+            val ts = n.get("ts_ms").asLong
+            val effs = n.get("pairs")
+            val tags = n.get("tags")
+            val pl = n.get("pair_lo") // null on pre-pool lines
+            val ph = n.get("pair_hi")
+            (0 until math.min(effs.size, tags.size)).foreach { i =>
+              val wallsOk =
+                if (pl != null && ph != null)
+                  pl.get(i).asDouble <= absLo && ph.get(i).asDouble <= absHi
+                else
+                  n.has("sec_lo") && n.has("sec_hi") &&
+                    n.get("sec_lo").asDouble <= absLo &&
+                    n.get("sec_hi").asDouble <= absHi
+              if (tags.get(i).asText == "quiet" && wallsOk)
+                out += ((ts, effs.get(i).asDouble))
+            }
           }
         }
-      }
+      } catch { case _: Exception => () } // skip malformed line, keep the run
     }
     out.result().sortBy(_._1).takeRight(k)
   }
@@ -347,38 +365,47 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var skippedForBudget = List.empty[String]
+    // queries the budget degraded to ONE (cold) rep: recorded so a reader
+    // can tell a cold single-rep number from a true warm regression without
+    // forensically equality-checking queries vs queries_cold (round-5 nit)
+    var singleRepQs = List.empty[String]
     var spark: SparkSession = null
 
     def buildJson(results: Seq[(String, Double, Double)],
                   scalingJson: String): String = {
-      val (qs, cold, total) =
+      val (qs, cold, total, singleRep) =
         if (results.isEmpty && !doHeadline) {
           // headline-skip mode carries the previous headline forward
-          // (warm queries, cold first-reps, and the total — a scaling-only
-          // run must not erase the committed headline evidence)
+          // (warm queries, cold first-reps, single-rep list, and the total —
+          // a scaling-only run must not erase the committed headline evidence)
           val qi = prevResult.indexOf("\"queries\":")
           val qj = if (qi >= 0) prevResult.indexOf('}', qi) else -1
           val ci = prevResult.indexOf("\"queries_cold\":")
           val cj = if (ci >= 0) prevResult.indexOf('}', ci) else -1
           val vi = prevResult.indexOf("\"value\":")
           val vj = if (vi >= 0) prevResult.indexOf(',', vi) else -1
+          val si = prevResult.indexOf("\"single_rep\":")
+          val sj = if (si >= 0) prevResult.indexOf(']', si) else -1
           if (qj >= 0 && vj >= 0)
             (prevResult.substring(qi + 10, qj + 1),
              if (cj >= 0) prevResult.substring(ci + 15, cj + 1) else "{}",
-             prevResult.substring(vi + 8, vj).toDouble)
-          else ("{}", "{}", 0.0)
+             prevResult.substring(vi + 8, vj).toDouble,
+             if (sj >= 0) prevResult.substring(si + 13, sj + 1) else "[]")
+          else ("{}", "{}", 0.0, "[]")
         } else (
           results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
             .mkString("{", ",", "}"),
           results.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
             .mkString("{", ",", "}"),
-          results.map(_._2).filter(_ >= 0).sum)
+          results.map(_._2).filter(_ >= 0).sum,
+          if (singleRepQs.isEmpty) "[]"
+          else singleRepQs.reverse.mkString("[\"", "\",\"", "\"]"))
       val skipped =
         if (skippedForBudget.isEmpty) ""
         else skippedForBudget.reverse.mkString(",\"skipped_for_budget\":[\"", "\",\"", "\"]")
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
-        s""""queries_cold":$cold,"reps":$reps,"budget_secs":$budget,""" +
-        s""""elapsed_secs":${f"$elapsed%.1f"},""" +
+        s""""queries_cold":$cold,"reps":$reps,"single_rep":$singleRep,""" +
+        s""""budget_secs":$budget,"elapsed_secs":${f"$elapsed%.1f"},""" +
         s""""ambient_load_before":${f"$loadBefore%.2f"}$skipped,"sf":"$sfDir"$scalingJson}"""
     }
 
@@ -400,6 +427,7 @@ object Bench {
               skippedForBudget ::= name
             } else {
               val effReps = if (remaining < 90) 1 else reps
+              if (effReps < reps) singleRepQs ::= name
               // per-query MIN over reps: the VM host's noise is one-sided
               // (steal/IO-wait spikes only ever slow a query down), so the
               // min is the engine's time; the COLD first rep is reported
@@ -594,6 +622,7 @@ object Bench {
           s"""{"ts_ms":${System.currentTimeMillis()},"eff":${f"$effThisRun%.3f"},
              |"pairs":$pairEffsJson,"tags":$tagsJson,"quality":"$runQuality",
              |"pipeline":"$pipelineVersion","turns":$turns,"triples":$n32,
+             |"cores_lo":$loCores,"cores_hi":$hiCores,"mode":"$master",
              |"pair_lo":${pairs.map(p => f"${p.lo}%.2f").mkString("[", ",", "]")},
              |"pair_hi":${pairs.map(p => f"${p.hi}%.2f").mkString("[", ",", "]")},
              |"ambient_load":${f"$loadBefore%.2f"},"sec_lo":${f"$t8%.2f"},
@@ -606,7 +635,8 @@ object Bench {
         // gates re-applied) — one run rarely catches a quiet window 6
         // consecutive times on this host, but quiet pairs accumulate.
         // The pool includes this run's quiet pairs via the line above.
-        val pool = loadQuietPool(absLo, absHi, turns, poolK)
+        val pool = loadQuietPool(absLo, absHi, turns, poolK,
+          loCores, hiCores, master)
         val poolEffs = pool.map(_._2)
         val eff = if (poolEffs.nonEmpty) median(poolEffs) else median(pairEffs)
         val effLooMin =

@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: graft.Verify <sfDir> <outDir> [query1,query2,...]")
+      sys.exit(2)
+    }
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query subset for fast iteration
     // (the driver always runs the full set; oracle_sql.json stays complete)

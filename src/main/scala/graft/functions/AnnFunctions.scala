@@ -145,6 +145,14 @@ object AnnFunctions {
       .select(embCol).collect().map(_.getSeq[Double](0).toArray)
     require(centroids.length == k, s"corpus smaller than codebook: ${centroids.length} < $k")
     val dim = centroids(0).length
+    // ragged/null guard: trainRound's per-cell mean divides primitive
+    // `sum(element_at(emb, i))` columns by `count(*)` — a null or short
+    // embedding would contribute to the count but not the sums, silently
+    // deflating centroids. Training is a one-off batch job, so one up-front
+    // validation pass is the right trade: fail loudly, never skew.
+    val ragged = df.filter(col(embCol).isNull || size(col(embCol)) =!= dim).count()
+    require(ragged == 0,
+      s"$ragged embeddings are null or not length $dim — clean the corpus before training")
     for (_ <- 0 until iters) {
       val next = centroids.map(_.clone())
       trainRound(df, embCol, centroids).collect()

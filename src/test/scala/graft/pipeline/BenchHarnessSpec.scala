@@ -61,7 +61,7 @@ class BenchHarnessSpec extends AnyFunSuite {
         |"pair_lo":[80.0,80.0],"pair_hi":[24.4,27.0],
         |"sec_lo":80.0,"sec_hi":24.4}""".stripMargin.replaceAll("\n", "")
     ) { f =>
-      val pool = Bench.loadQuietPool(85, 26.5, 12000000L, 8, f)
+      val pool = Bench.loadQuietPool(85, 26.5, 12000000L, 8, p = f)
       assert(pool.map(_._2) == Vector(0.82), pool.toString)
     }
   }
@@ -74,7 +74,7 @@ class BenchHarnessSpec extends AnyFunSuite {
       // committed round-4 window: 1 quiet pair, run-best walls pass
       """{"ts_ms":2,"eff":0.819,"pairs":[0.702,0.819],"tags":["throttled","quiet"],"quality":"limited","ambient_load":1.11,"sec_lo":83.65,"sec_hi":25.53}"""
     ) { f =>
-      val pool = Bench.loadQuietPool(85, 26.5, 12000000L, 8, f)
+      val pool = Bench.loadQuietPool(85, 26.5, 12000000L, 8, p = f)
       assert(pool.map(_._2) == Vector(0.819), pool.toString)
     }
   }
@@ -95,11 +95,47 @@ class BenchHarnessSpec extends AnyFunSuite {
       "not json at all",
       ok(7, 0.84)
     ) { f =>
-      val pool = Bench.loadQuietPool(85, 26.5, 12000000L, 8, f)
+      val pool = Bench.loadQuietPool(85, 26.5, 12000000L, 8, p = f)
       assert(pool.map(_._2) == Vector(0.81, 0.82, 0.83, 0.84), pool.toString)
       // most recent k win
-      val capped = Bench.loadQuietPool(85, 26.5, 12000000L, 2, f)
+      val capped = Bench.loadQuietPool(85, 26.5, 12000000L, 2, p = f)
       assert(capped.map(_._2) == Vector(0.83, 0.84), capped.toString)
+    }
+  }
+
+  test("pool: measurement config must match (cores/mode keyed, defaults for old lines)") {
+    val ok = (ts: Int, eff: Double, extra: String) =>
+      s"""{"ts_ms":$ts,"eff":$eff,"pairs":[$eff],"tags":["quiet"],"quality":"ok","pipeline":"r4","turns":12000000,"triples":1,"pair_lo":[80.0],"pair_hi":[24.0],"sec_lo":80.0,"sec_hi":24.0$extra}"""
+    withHistory(
+      // old line without config fields: belongs to the 4,16 "lc" default
+      ok(1, 0.81, ""),
+      // explicit matching config
+      ok(2, 0.82, ""","cores_lo":4,"cores_hi":16,"mode":"lc""""),
+      // 2,8 pair: same 4x ratio but halved walls trivially pass the 4,16
+      // gates — must NOT pool into the 4->16 headline
+      ok(3, 0.99, ""","cores_lo":2,"cores_hi":8,"mode":"lc""""),
+      // single-JVM local[n] proxy mode: different scaling claim
+      ok(4, 0.97, ""","cores_lo":4,"cores_hi":16,"mode":"local"""")
+    ) { f =>
+      val pool = Bench.loadQuietPool(85, 26.5, 12000000L, 8, p = f)
+      assert(pool.map(_._2) == Vector(0.81, 0.82), pool.toString)
+      val pool28 = Bench.loadQuietPool(85, 26.5, 12000000L, 8,
+        coresLo = 2, coresHi = 8, p = f)
+      assert(pool28.map(_._2) == Vector(0.99), pool28.toString)
+    }
+  }
+
+  test("pool: partially-shaped lines are skipped, never fatal") {
+    withHistory(
+      // pairs+tags but no ts_ms (the ADVICE NPE shape)
+      """{"pairs":[0.9],"tags":["quiet"],"pipeline":"r4","turns":12000000}""",
+      // old-format line missing sec_lo/sec_hi entirely
+      """{"ts_ms":5,"pairs":[0.91],"tags":["quiet"],"pipeline":"r4","turns":12000000}""",
+      // well-formed survivor
+      """{"ts_ms":9,"eff":0.82,"pairs":[0.82],"tags":["quiet"],"quality":"ok","pipeline":"r4","turns":12000000,"triples":1,"pair_lo":[80.0],"pair_hi":[24.0],"sec_lo":80.0,"sec_hi":24.0}"""
+    ) { f =>
+      val pool = Bench.loadQuietPool(85, 26.5, 12000000L, 8, p = f)
+      assert(pool.map(_._2) == Vector(0.82), pool.toString)
     }
   }
 
