@@ -44,6 +44,7 @@ object Bench {
     "d4_jaccard_capped", "d5_embedding_dup",
     "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf", "s7_json_minimal", "x5_token_bpe",
     "m2_frame_sample", "m3_image_resize", "m4_resize_reencode",
+    "m5_audio_decode",
     "x1_lang_id", "x2_text_stats", "x3_quality_score", "x4_fingerprint",
     "x6_stratified_sample",
     "w1_turn_order", "m1_multimodal_decode",

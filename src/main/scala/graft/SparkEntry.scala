@@ -536,15 +536,28 @@ object SparkEntry {
     // REAL pixel leg driven end-to-end: complete decodable PNGs (bounded
     // slice — rasters are expensive to synthesize) → header dims → bilinear
     // resample through the JDK codec → PNG re-encode, one map stage. The
-    // oracle predicts the emitted dims from the planted formula; pixel
-    // correctness is spec-pinned (PipelineSpec real-pixel round trip)
+    // oracle predicts the emitted dims from the planted formula, and for
+    // identity resamples (pixel-exact, spec-pinned) also the EMITTED
+    // payload's (0,0) blue channel — a value that exists only if real
+    // pixels round-tripped the codec
     "m4_resize_reencode" -> ((s, d) =>
-      Multimodal.resizeImages(
+      Multimodal.resizeImagesWithCorner(
         Multimodal.withSyntheticPayload(
           t(s, d, "documents").filter(col("doc_id") < 300), "doc_id",
           realPixels = true),
         maxSide = 64)
-        .toDF().select(col("doc_id"), col("out_width"), col("out_height"))),
+        .toDF().select(col("doc_id"), col("out_width"), col("out_height"),
+          col("corner_b"))),
+
+    // REAL audio-sample leg: complete PCM16 WAVs (planted sample formula)
+    // → JDK codec decode (javax.sound.sampled) → exact integer stats in
+    // one map stage; the oracle recomputes peak and sum from the formula
+    "m5_audio_decode" -> ((s, d) =>
+      Multimodal.audioStats(
+        Multimodal.withSyntheticPayload(t(s, d, "documents"), "doc_id",
+          realSamples = true))
+        .toDF().select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("peak"), col("sum_samples"))),
 
     // ---- streaming ingest (file source → watermark window agg → memory sink)
     "str1_stream_counts" -> ((s, d) => {
@@ -1624,9 +1637,28 @@ object SparkEntry {
         |  CAST(CASE WHEN greatest(w, h) <= 64 THEN w
         |    ELSE greatest(floor(w * 64 / greatest(w, h)), 1) END AS INT) AS out_width,
         |  CAST(CASE WHEN greatest(w, h) <= 64 THEN h
-        |    ELSE greatest(floor(h * 64 / greatest(w, h)), 1) END AS INT) AS out_height
+        |    ELSE greatest(floor(h * 64 / greatest(w, h)), 1) END AS INT) AS out_height,
+        |  CAST(CASE WHEN greatest(w, h) <= 64 THEN (doc_id * 31) % 256
+        |    ELSE NULL END AS INT) AS corner_b
         |FROM (SELECT doc_id, (doc_id * 7) % 512 + 16 AS w, (doc_id * 13) % 512 + 16 AS h
         |      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300)""".stripMargin,
+
+    // sample (frame i, channel c) = ((doc_id*31 + i*7 + c*13) % 2003) - 1001
+    // planted by wavBytesReal; peak/sum recomputed here over the exact same
+    // integer series, so the hash verifies the JDK-codec decode end-to-end
+    "m5_audio_decode" ->
+      """SELECT doc_id, CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+        |  CAST(n AS INT) AS n_samples,
+        |  CAST(max(abs(s)) AS INT) AS peak,
+        |  CAST(sum(s) AS BIGINT) AS sum_samples
+        |FROM (
+        |  SELECT doc_id, rate, ch, n,
+        |    ((doc_id * 31 + (k // ch) * 7 + (k % ch) * 13) % 2003) - 1001 AS s
+        |  FROM (SELECT doc_id, 8000 + (doc_id % 5) * 8000 AS rate,
+        |          doc_id % 2 + 1 AS ch, doc_id % 1000 + 1 AS n
+        |        FROM documents WHERE doc_id % 3 = 1),
+        |    UNNEST(range(n * ch)) AS u(k))
+        |GROUP BY doc_id, rate, ch, n""".stripMargin,
 
     "k1_salted_agg" ->
       s"""$trCte

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * (RIFF/avih main header, little-endian) — sniffed by magic bytes, not by
   * trusting any metadata column. PNG additionally gets a REAL pixel path
   * through the JDK's own codec ([[resamplePng]]: `javax.imageio` decode →
-  * bilinear resample → re-encode), so the image resize leg round-trips
-  * actual rasters. WAV/AVI sample/frame decoding stays header-level — those
-  * codecs aren't in the JDK — and a full codec drops into the same
-  * per-partition loops without touching any plan.
+  * bilinear resample → re-encode), and WAV gets a REAL sample path through
+  * `javax.sound.sampled.AudioSystem` ([[decodeWavSamples]]: PCM16 decode →
+  * per-doc sample stats), so the image and audio legs both round-trip
+  * actual payload data with zero non-JDK dependencies. AVI frame decoding
+  * stays header-level — no AVI video codec ships in the JDK — and a full
+  * codec drops into the same per-partition loops without touching any plan.
   */
 object Multimodal {
 
@@ -117,6 +119,76 @@ object Multimodal {
       "data".getBytes("US-ASCII") ++ le32(dataSize)
   }
 
+  /** COMPLETE decodable WAV with deterministic PCM16 samples — the
+    * real-sample counterpart of the header-only [[wavBytes]]. Sample
+    * (frame i, channel c) = ((seed·31 + i·7 + c·13) mod 2003) − 1001, a
+    * pure integer formula an external oracle replicates exactly (range
+    * ±1001 fits 16-bit). Interleaved little-endian, the layout
+    * `javax.sound.sampled` expects for PCM_SIGNED.
+    */
+  def wavBytesReal(sampleRate: Int, channels: Int, frames: Int, seed: Long): Array[Byte] = {
+    val header = wavBytes(sampleRate, channels, frames)
+    val out = new Array[Byte](header.length + frames * channels * 2)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    var off = header.length
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        val s = ((seed * 31 + i * 7 + c * 13) % 2003 - 1001).toInt
+        out(off) = (s & 0xff).toByte
+        out(off + 1) = ((s >> 8) & 0xff).toByte
+        off += 2
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Decoded per-payload audio stats: (sample_rate, channels, n_frames,
+    * peak, sum) — peak = max |sample|, sum = Σ sample over every channel
+    * sample, both EXACT integer statistics an oracle replicates from the
+    * planted formula with no floating-point hazard.
+    */
+  final case class AudioStats(sampleRate: Int, channels: Int, nFrames: Int,
+                              peak: Int, sum: Long)
+
+  /** REAL sample decode through the JDK's own audio codec
+    * (`javax.sound.sampled.AudioSystem`, public JDK — the audio counterpart
+    * of [[resamplePng]]'s `javax.imageio` leg): parse the WAV container,
+    * verify 16-bit signed PCM, stream the sample bytes, and fold exact
+    * integer stats. `None` when the payload isn't a decodable 16-bit PCM
+    * WAV (wrong container, compressed encoding, truncated header), so
+    * callers can count fallbacks instead of crashing the stage.
+    */
+  private[graft] def decodeWavSamples(b: Array[Byte]): Option[AudioStats] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val data = in.readAllBytes()
+          val channels = fmt.getChannels
+          val nSamples = data.length / 2
+          var peak = 0
+          var sum = 0L
+          var i = 0
+          while (i < nSamples) {
+            val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+            if (math.abs(s) > peak) peak = math.abs(s)
+            sum += s
+            i += 1
+          }
+          Some(AudioStats(fmt.getSampleRate.toInt, channels,
+            nSamples / math.max(channels, 1), peak, sum))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Minimal valid AVI prefix: RIFF/AVI with the `avih` main header
     * (dwTotalFrames, dwWidth, dwHeight populated).
     */
@@ -191,20 +263,55 @@ object Multimodal {
     * `realPixels = true` emits COMPLETE decodable PNGs ([[pngBytesReal]],
     * same dims formula) so downstream legs exercise actual rasters — more
     * expensive per row, so driver queries bound the slice they apply it to.
+    * `realSamples = true` likewise emits COMPLETE PCM16 WAVs
+    * ([[wavBytesReal]], same rate/channels/frames formulas, seed = doc_id).
     */
   def withSyntheticPayload(df: DataFrame, idCol: String,
-                           realPixels: Boolean = false): Dataset[MediaRow] = {
+                           realPixels: Boolean = false,
+                           realSamples: Boolean = false): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("doc_id")).as[Long].map { id =>
       val payload = (id % 3) match {
         case 0 =>
           val (w, h) = ((id * 7 % 512 + 16).toInt, (id * 13 % 512 + 16).toInt)
           if (realPixels) pngBytesReal(w, h, seed = id.toInt) else pngBytes(w, h)
-        case 1 => wavBytes((8000 + id % 5 * 8000).toInt, (id % 2 + 1).toInt, (id % 1000 + 1).toInt)
+        case 1 =>
+          val (rate, ch, n) =
+            ((8000 + id % 5 * 8000).toInt, (id % 2 + 1).toInt, (id % 1000 + 1).toInt)
+          if (realSamples) wavBytesReal(rate, ch, n, seed = id) else wavBytes(rate, ch, n)
         case _ => aviBytes((id * 7 % 512 + 16).toInt, (id * 13 % 512 + 16).toInt, (id % 240 + 1).toInt)
       }
       MediaRow(id, Seq("image", "audio", "video")((id % 3).toInt), payload)
     }
+  }
+
+  final case class AudioStatsRow(doc_id: Long, sample_rate: Int, channels: Int,
+    n_samples: Int, peak: Int, sum_samples: Long)
+
+  /** Per-document audio statistics over REAL decoded samples: filter to
+    * audio payloads, decode PCM16 through the JDK codec
+    * ([[decodeWavSamples]]), emit exact integer stats — ONE map stage, no
+    * shuffle, payloads read once; at 100 TB this is embarrassingly parallel
+    * codec CPU exactly like the image leg. Undecodable payloads drop out
+    * (and count on `fallbacks` when provided — same metric pattern as the
+    * pixel leg).
+    */
+  def audioStats(media: Dataset[MediaRow],
+                 fallbacks: Option[org.apache.spark.util.LongAccumulator] = None
+                ): Dataset[AudioStatsRow] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "audio").as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          decodeWavSamples(m.payload) match {
+            case Some(s) =>
+              Some(AudioStatsRow(m.doc_id, s.sampleRate, s.channels,
+                s.nFrames, s.peak, s.sum))
+            case None =>
+              fallbacks.foreach(_.add(1)); None
+          }
+        }
+      }
   }
 
   /** Partition-batched decode: codec state initializes once per partition
@@ -272,10 +379,15 @@ object Multimodal {
     * carries a `payload` column with decodable rasters, pixels are REALLY
     * resampled ([[resamplePng]]: ImageIO decode → bilinear `Graphics2D` →
     * PNG encode); header-only container prefixes (metadata corpora) fall
-    * back to a container-level PNG at the target dims. Partition-batched:
-    * one map stage, no shuffle — codec state amortizes per partition.
+    * back to a container-level PNG at the target dims — and each fallback
+    * counts on `fallbacks` when provided, so a 100 TB run's stage metrics
+    * distinguish "all real pixels" from "all fell back" (the cell-error
+    * accumulator pattern). Partition-batched: one map stage, no shuffle —
+    * codec state amortizes per partition.
     */
-  def reencode(plan: DataFrame): Dataset[ResizedRow] = {
+  def reencode(plan: DataFrame,
+               fallbacks: Option[org.apache.spark.util.LongAccumulator] = None
+              ): Dataset[ResizedRow] = {
     import plan.sparkSession.implicits._
     if (plan.columns.contains("payload"))
       plan.select(col("doc_id").cast("long"), col("out_width").cast("int"),
@@ -283,7 +395,9 @@ object Multimodal {
         .mapPartitions { it =>
           it.map { case (id, ow, oh, payload) =>
             ResizedRow(id, ow, oh,
-              resamplePng(payload, ow, oh).getOrElse(pngBytes(ow, oh)))
+              resamplePng(payload, ow, oh).getOrElse {
+                fallbacks.foreach(_.add(1)); pngBytes(ow, oh)
+              })
           }
         }
     else
@@ -300,7 +414,9 @@ object Multimodal {
     * dims, resample, and encode all happen in the same partition pass, no
     * shuffle, payloads never ship twice.
     */
-  def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[ResizedRow] = {
+  def resizeImages(media: Dataset[MediaRow], maxSide: Int,
+                   fallbacks: Option[org.apache.spark.util.LongAccumulator] = None
+                  ): Dataset[ResizedRow] = {
     require(maxSide >= 1, s"maxSide must be >= 1: $maxSide")
     import media.sparkSession.implicits._
     media.filter(col("media_type") === "image").as[MediaRow]
@@ -315,7 +431,55 @@ object Multimodal {
               else math.max((s.toLong * maxSide / long).toInt, 1)
             val (ow, oh) = (fit(w), fit(h))
             Some(ResizedRow(m.doc_id, ow, oh,
-              resamplePng(m.payload, ow, oh).getOrElse(pngBytes(ow, oh))))
+              resamplePng(m.payload, ow, oh).getOrElse {
+                fallbacks.foreach(_.add(1)); pngBytes(ow, oh)
+              }))
+          }
+        }
+      }
+  }
+
+  final case class ResizedCornerRow(doc_id: Long, out_width: Int,
+    out_height: Int, corner_b: Option[Int])
+
+  /** [[resizeImages]] plus a pixel-derived verification column: for
+    * IDENTITY resamples (out dims == in dims, where the bilinear pass is
+    * pixel-exact — spec-pinned), `corner_b` carries the blue channel of the
+    * EMITTED payload's (0,0) pixel, which the gradient formula predicts as
+    * `(seed·31) & 0xff`; scaled rows emit null (interpolated corners aren't
+    * oracle-replicable in integer math). Lets the external oracle's hash
+    * cover a value that only exists if real pixels round-tripped the codec.
+    * Still ONE map stage — the corner decode reads the just-encoded bytes
+    * in the same partition pass.
+    */
+  def resizeImagesWithCorner(media: Dataset[MediaRow], maxSide: Int
+                            ): Dataset[ResizedCornerRow] = {
+    require(maxSide >= 1, s"maxSide must be >= 1: $maxSide")
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "image").as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val (kind, w, h, _) = decodeHeader(m.payload)
+          if (kind != "image" || w <= 0 || h <= 0) None
+          else {
+            val long = math.max(w, h)
+            def fit(s: Int): Int =
+              if (long <= maxSide) s
+              else math.max((s.toLong * maxSide / long).toInt, 1)
+            val (ow, oh) = (fit(w), fit(h))
+            val emitted = resamplePng(m.payload, ow, oh).getOrElse(pngBytes(ow, oh))
+            // identity ⇔ the INPUT already fit maxSide (ow==w, oh==h);
+            // the emitted header always matches (ow, oh) by construction,
+            // so the input dims are the only valid identity witness
+            val corner =
+              if (ow == w && oh == h)
+                try {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(emitted))
+                  if (img == null) None else Some(img.getRGB(0, 0) & 0xff)
+                } catch { case _: Exception => None }
+              else None
+            Some(ResizedCornerRow(m.doc_id, ow, oh, corner))
           }
         }
       }

@@ -198,7 +198,8 @@ object CsvDialectSource extends Serializable {
     while (i < text.length) {
       val c = text(i)
       if (inQ) {
-        if (c == quote) {
+        if (!doubleQuote && c == '\\' && i + 1 < text.length) { i += 1; fieldLen += 1 }
+        else if (c == quote) {
           if (doubleQuote && i + 1 < text.length && text(i + 1) == quote) { i += 1; fieldLen += 1 }
           else inQ = false
         } else fieldLen += 1
@@ -232,7 +233,14 @@ object CsvDialectSource extends Serializable {
     out.toSeq
   }
 
-  /** Minimal RFC 4180 line parser honoring quoteChar/doubleQuote. */
+  /** Minimal RFC 4180 line parser honoring quoteChar/doubleQuote. With
+    * `doubleQuote = false` the escape character is backslash instead of a
+    * doubled quote (CSVW tabular-data-model dialect `doubleQuote`; the
+    * reference defines the same mapping, `metadata.rb:1766-1770`
+    * `escape_character = doubleQuote ? '"' : '\\'`) — inside a quoted
+    * region `\x` yields `x` literally, matching the fast path's
+    * Spark `escape` option ([[read]]).
+    */
   def parseCsvLine(line: String, delim: String, quote: Char, doubleQuote: Boolean): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
@@ -242,7 +250,8 @@ object CsvDialectSource extends Serializable {
     while (i < line.length) {
       val c = line(i)
       if (inQ) {
-        if (c == quote) {
+        if (!doubleQuote && c == '\\' && i + 1 < line.length) { sb += line(i + 1); i += 1 }
+        else if (c == quote) {
           if (doubleQuote && i + 1 < line.length && line(i + 1) == quote) { sb += quote; i += 1 }
           else inQ = false
         } else sb += c

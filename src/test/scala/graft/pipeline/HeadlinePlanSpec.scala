@@ -38,7 +38,16 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("s7_json_minimal", 1, 0),
     ("x5_token_bpe", 0, 0),
     ("x6_stratified_sample", 0, 0),
-    ("m4_resize_reencode", 0, 0))
+    ("m4_resize_reencode", 0, 0),
+    ("m5_audio_decode", 0, 0),
+    ("q2_join_broadcast", 1, 1),
+    ("q4_sort_limit", 0, 0),
+    ("d2_minhash_lsh", 2, 3),
+    ("j1_fk_violations", 2, 1),
+    ("a1_pk_duplicates", 1, 0),
+    ("a2_fk_dup_targets", 1, 0),
+    ("a3_comment_rows", 0, 0),
+    ("r1_reader_open", 0, 0))
 
   budgets.foreach { case (name, shuffleBudget, broadcastBudget) =>
     test(s"$name: shuffle budget $shuffleBudget, broadcast budget $broadcastBudget") {

@@ -383,6 +383,79 @@ class FunctionsSpec extends AnyFunSuite {
     val fb = Multimodal.reencode(fallback).collect().head
     assert(Multimodal.decodeHeader(fb.payload) == (("image", 8, 8, 1)))
   }
+
+  test("pixel-leg fallback accumulator: real pixels report 0, header-only reports N") {
+    // a 100 TB run must be able to tell "all real pixels" from "all fell
+    // back" in its stage metrics (round-5 verdict nit): the counter is the
+    // same accumulator pattern the cell-error gate uses
+    val realAcc = spark.sparkContext.longAccumulator("pixel_fallbacks_real")
+    val real = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.pngBytesReal(40, 20, seed = 1)),
+      Multimodal.MediaRow(2L, "image", Multimodal.pngBytesReal(96, 48, seed = 2))).toDS()
+    assert(Multimodal.resizeImages(real, maxSide = 32, Some(realAcc)).collect().length == 2)
+    assert(realAcc.value == 0L, s"real-pixel input must not fall back: ${realAcc.value}")
+    val hdrAcc = spark.sparkContext.longAccumulator("pixel_fallbacks_hdr")
+    val hdr = Seq(
+      Multimodal.MediaRow(3L, "image", Multimodal.pngBytes(40, 20)),
+      Multimodal.MediaRow(4L, "image", Multimodal.pngBytes(96, 48)),
+      Multimodal.MediaRow(5L, "image", Multimodal.pngBytes(8, 8))).toDS()
+    assert(Multimodal.resizeImages(hdr, maxSide = 32, Some(hdrAcc)).collect().length == 3)
+    assert(hdrAcc.value == 3L, s"every header-only payload falls back: ${hdrAcc.value}")
+    // reencode's payload path counts through the same parameter
+    val reAcc = spark.sparkContext.longAccumulator("pixel_fallbacks_re")
+    val plan = Seq((6L, 8, 8, Multimodal.pngBytes(64, 64)))
+      .toDF("doc_id", "out_width", "out_height", "payload")
+    Multimodal.reencode(plan, Some(reAcc)).collect()
+    assert(reAcc.value == 1L)
+  }
+
+  test("wavBytesReal -> JDK codec decode round-trips the planted PCM16 samples") {
+    // single-payload exactness: decode through javax.sound.sampled and
+    // compare against the formula sample(i,c) = ((seed·31+i·7+c·13)%2003)−1001
+    val b = Multimodal.wavBytesReal(16000, 2, 50, seed = 11L)
+    val s = Multimodal.decodeWavSamples(b).get
+    assert(s.sampleRate == 16000 && s.channels == 2 && s.nFrames == 50)
+    val expected = for (i <- 0 until 50; c <- 0 until 2)
+      yield ((11L * 31 + i * 7 + c * 13) % 2003 - 1001).toInt
+    assert(s.peak == expected.map(math.abs).max)
+    assert(s.sum == expected.map(_.toLong).sum)
+    // a header-only WAV decodes as zero samples (declared-but-absent data)
+    val hdr = Multimodal.decodeWavSamples(Multimodal.wavBytes(8000, 1, 10)).get
+    assert(hdr.nFrames == 0 && hdr.peak == 0 && hdr.sum == 0L)
+    // non-WAV bytes are a counted fallback, not a crash
+    assert(Multimodal.decodeWavSamples("junk".getBytes).isEmpty)
+  }
+
+  test("audioStats: distributed decode matches the formula; junk counts as fallback") {
+    val acc = spark.sparkContext.longAccumulator("audio_fallbacks")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.wavBytesReal(8000, 1, 7, seed = 1L)),
+      Multimodal.MediaRow(4L, "audio", Multimodal.wavBytesReal(12000, 2, 9, seed = 4L)),
+      Multimodal.MediaRow(7L, "audio", "not a wav".getBytes),
+      Multimodal.MediaRow(9L, "image", Multimodal.pngBytesReal(8, 8, seed = 9))).toDS()
+    val rows = Multimodal.audioStats(media, Some(acc)).collect().sortBy(_.doc_id)
+    assert(rows.map(_.doc_id).toSeq == Seq(1L, 4L)) // image filtered, junk dropped
+    assert(acc.value == 1L)
+    rows.foreach { r =>
+      val expected = for (i <- 0 until r.n_samples; c <- 0 until r.channels)
+        yield ((r.doc_id * 31 + i * 7 + c * 13) % 2003 - 1001).toInt
+      assert(r.peak == expected.map(math.abs).max, s"doc ${r.doc_id}")
+      assert(r.sum_samples == expected.map(_.toLong).sum, s"doc ${r.doc_id}")
+    }
+  }
+
+  test("resizeImagesWithCorner: identity rows carry the emitted corner pixel") {
+    val media = Seq(
+      // identity: 20x10 fits maxSide 32 -> corner_b = (9*31) & 0xff
+      Multimodal.MediaRow(2L, "image", Multimodal.pngBytesReal(20, 10, seed = 9)),
+      // scaled: interpolated corners aren't oracle-replicable -> null
+      Multimodal.MediaRow(1L, "image", Multimodal.pngBytesReal(96, 48, seed = 7))).toDS()
+    val rows = Multimodal.resizeImagesWithCorner(media, maxSide = 32)
+      .collect().sortBy(_.doc_id)
+    assert(rows(0).corner_b.isEmpty, "scaled row must emit null corner")
+    assert(rows(1).corner_b.contains((9 * 31) & 0xff),
+      s"identity corner: ${rows(1).corner_b}")
+  }
 }
 
 class CsvwDiscoverSpec extends AnyFunSuite {
