@@ -396,6 +396,22 @@ object SparkEntry {
       plantedRecall(docs, pairs)
     }),
 
+    // fuzzy-dedup clustering (keep-one-per-cluster): every 7th document gets
+    // TWO one-token-suffix copies, so each planted chain {id, id+OFF, id+2·OFF}
+    // must collapse into ONE component with the original as canonical
+    // (min id). The corpus is originals + copies only, so the oracle can
+    // state the exact cluster table; both copy pairs carry the same
+    // (n−2)/(n−1) ≥ 0.88 Jaccard guarantee as d2's planted pairs.
+    "d6_dup_clusters" -> ((s, d) => {
+      val originals = plantedBaseDocs(s, d).filter(col("doc_id") % 7 === 0)
+      val c1 = originals.select((col("doc_id") + PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+      val c2 = originals.select((col("doc_id") + 2 * PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" zr")).as("text"))
+      DedupFunctions.dupClusters(s, originals.unionByName(c1).unionByName(c2),
+        "doc_id", "text", bands = 8, rowsPerBand = 4, threshold = 0.5)
+    }),
+
     // normalization-only mutation (case/whitespace/punctuation): tokens() is
     // invariant to it, so the copy's simhash is bit-identical — recall at the
     // requested radius is *guaranteed* by the pigeonhole blocking (the
@@ -1344,6 +1360,20 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS id_a,
         |  CAST(doc_id + 100000 AS BIGINT) AS id_b, TRUE AS found
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
+    // the corpus is originals (%7) + two planted copies each, so the exact
+    // cluster table is: one 3-member cluster per original, canonical = the
+    // original, copies kept = false
+    "d6_dup_clusters" ->
+      """WITH orig AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 7 = 0),
+        |mem AS (
+        |  SELECT id AS member, id AS cluster_id FROM orig
+        |  UNION ALL SELECT id + 100000 AS member, id AS cluster_id FROM orig
+        |  UNION ALL SELECT id + 200000 AS member, id AS cluster_id FROM orig)
+        |SELECT member, cluster_id, CAST(3 AS BIGINT) AS cluster_size,
+        |  (member = cluster_id) AS keep
+        |FROM mem""".stripMargin,
 
     "d3_simhash" ->
       """SELECT CAST(doc_id AS BIGINT) AS id_a,

@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.link.ConnectedComponents
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -346,5 +348,43 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"),
         AnnFunctions.cosine(col("e_a"), col("e_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Fuzzy-dedup cluster assignment — the keep-one-per-near-dup-cluster
+    * shape every large-scale training-corpus pipeline runs after candidate
+    * generation (CCNet/RefinedWeb style): [[minhashDupPairs]] candidate
+    * pairs → connected components over the pair graph → one canonical
+    * document (the minimum id) per cluster.
+    *
+    * Returns `(member, cluster_id, cluster_size, keep)` — one row per
+    * document that appears in at least one near-dup pair, `cluster_id` =
+    * the cluster's minimum member id, `keep` = true exactly on the
+    * canonical member. Documents with no near-dup partner never enter the
+    * component computation at all, which is what makes this shape viable at
+    * 100 TB: the edge set (ids only) is proportional to the near-dup
+    * fraction, not the corpus, and the final corpus-wide filter is the
+    * caller's anti-join of the corpus against the `keep = false` rows.
+    * The cluster-size join shuffles only cluster members.
+    *
+    * Ids must be non-negative: components run on zero-padded decimal
+    * strings ([[graft.link.ConnectedComponents]] is string-keyed for the
+    * entity-graph use) so lexicographic min == numeric min.
+    */
+  def dupClusters(spark: SparkSession, df: DataFrame, idCol: String,
+                  textCol: String, bands: Int = 8, rowsPerBand: Int = 4,
+                  shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashDupPairs(df, idCol, textCol, bands, rowsPerBand,
+      shingleSize, threshold)
+    val edges = pairs.select(
+      lpad(col("id_a").cast("string"), 20, "0").as("src"),
+      lpad(col("id_b").cast("string"), 20, "0").as("dst"))
+    val members = ConnectedComponents.run(spark, edges)
+      .select(col("id").cast("long").as("member"),
+        col("component").cast("long").as("cluster_id"))
+    val sizes = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    members.join(sizes, "cluster_id")
+      .select(col("member"), col("cluster_id"), col("cluster_size"),
+        (col("member") === col("cluster_id")).as("keep"))
   }
 }

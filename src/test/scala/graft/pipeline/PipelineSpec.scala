@@ -232,6 +232,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))      // unrelated excluded
   }
 
+  test("dupClusters: transitive chain merges, canonical = min id, singleton absent") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val near = base + "omega"
+    val far = "one two three four five six seven eight nine ten " * 3
+    val lone = "solitary document with wholly disjoint vocabulary tokens only here"
+    val df = Seq((1L, base), (2L, near), (3L, base), (4L, far), (5L, far), (6L, lone))
+      .toDF("id", "text")
+    val rows = DedupFunctions.dupClusters(spark, df, "id", "text", threshold = 0.3)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(rows == Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false)))
+  }
+
   test("simhash: exact dup at hamming 0, unrelated excluded") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val far = "completely different words entirely unrelated content here now truly disjoint"
