@@ -529,6 +529,16 @@ object SparkEntry {
       col("doc_id"),
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))),
 
+    // eval-set decontamination: the "benchmark" is the %13 slice of the
+    // corpus itself, so every ≥8-token eval doc must flag itself, plus any
+    // organic 8-gram leakage across documents; the DuckDB oracle replicates
+    // the shingle definition exactly (lead() window over the d4 token split)
+    "x7_decontaminate" -> ((s, d) => {
+      val docs = plantedBaseDocs(s, d)
+      TextFunctions.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 13 === 0), "text", n = 8)
+    }),
+
     // ---- multimodal plumbing (real PNG/WAV/AVI header codec)
     "m1_multimodal_decode" -> ((s, d) =>
       Multimodal.decodePipeline(s, t(s, d, "documents"), "doc_id")
@@ -1283,6 +1293,30 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    // same token split as d4's oracle; 8-grams via lead() window, distinct
+    // per doc; eval set = %13 docs; count of a doc's distinct shingles that
+    // appear anywhere in the eval set
+    "x7_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok, t.pos FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS tok,
+        |      generate_subscripts(string_split_regex(lower(text), '[^a-z0-9'']+'), 1) AS pos
+        |    FROM documents) t(doc_id, tok, pos) WHERE length(tok) > 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+        |      || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+        |      || ' ' || lead(tok, 7) OVER w AS shingle
+        |  FROM toks
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 7) OVER w IS NOT NULL),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0)
+        |SELECT s.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS matched_shingles
+        |FROM sh s JOIN ev ON s.shingle = ev.shingle
+        |GROUP BY 1""".stripMargin,
 
     "x5_token_bpe" ->
       """SELECT doc_id,

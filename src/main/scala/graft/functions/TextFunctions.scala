@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: language
@@ -90,4 +90,29 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column =
     graft.expr.CsvwFunctions.shingleArr(tokens(text), n)
+
+  /** Eval-set decontamination: flag corpus documents that share any word
+    * n-gram with an evaluation set (the standard pre-training sweep that
+    * removes benchmark leakage; n = 8–13 in published pipelines).
+    *
+    * Returns `(doc_id, matched_shingles)` — one row per contaminated
+    * document, counting its DISTINCT n-grams that appear anywhere in the
+    * eval set. Built for the 100 TB shape: eval sets are benchmark-sized,
+    * so their distinct shingle table broadcasts; the corpus side is a
+    * codegen'd shingle expression + explode with per-row `array_distinct`
+    * (no corpus-wide shingle dedup shuffle), and the only shuffle is the
+    * final aggregate over MATCHED rows — proportional to the contamination
+    * hit count, not the corpus.
+    */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+                    evalDocs: DataFrame, evalTextCol: String,
+                    n: Int = 8): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(array_distinct(shingles(col(evalTextCol), n))).as("shingle"))
+      .distinct()
+    corpus.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("matched_shingles"))
+  }
 }

@@ -208,6 +208,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("contamination: distinct shared n-grams counted, short and clean docs absent") {
+    val evalTxt = "alpha beta gamma delta"                     // one 3-gram pair
+    val docs = Seq(
+      (1L, "x y alpha beta gamma q alpha beta gamma"),         // shares "alpha beta gamma" (once, distinct)
+      (2L, "beta gamma delta z beta gamma delta"),             // shares "beta gamma delta"
+      (3L, "alpha beta gamma delta w"),                        // shares both
+      (4L, "totally clean text with no overlap at all"),       // clean
+      (5L, "alpha beta")                                       // too short for a 3-gram
+    ).toDF("doc_id", "text")
+    val ev = Seq(Tuple1(evalTxt)).toDF("text")
+    val got = TextFunctions.contamination(docs, "doc_id", "text", ev, "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("shingles windows") {
     val s = Seq("a b c d").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].head()
