@@ -38,6 +38,8 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("s7_json_minimal", 1, 0),
     ("x5_token_bpe", 0, 0),
     ("x6_stratified_sample", 0, 0),
+    // eval-shingle distinct + matched-rows agg; eval side broadcasts
+    ("x7_decontaminate", 2, 1),
     ("m4_resize_reencode", 0, 0),
     ("m5_audio_decode", 0, 0),
     ("q2_join_broadcast", 1, 1),
