@@ -539,6 +539,30 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 === 0), "text", n = 8)
     }),
 
+    // PII scrub: the synthetic corpus carries no organic PII, so each doc
+    // gets a deterministic PII-bearing suffix (email + IPv4 + phone, a
+    // second email on every third doc) planted identically by the oracle,
+    // then counted and redacted. Counts are over the original text,
+    // redaction is the ordered regexp_replace chain — all codegen'd, zero
+    // exchanges.
+    "x8_pii_redact" -> ((s, d) => {
+      val withPii = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org from 10."),
+          (col("doc_id") % 200).cast("string"),
+          lit(".0.7 call +1 555 01"),
+          ((col("doc_id") % 90) + 10).cast("string"),
+          when(col("doc_id") % 3 === 0, lit(" cc admin@corp.io"))
+            .otherwise(lit(""))).as("txt"))
+      withPii.select(col("doc_id"),
+        TextFunctions.piiCount(col("txt"), TextFunctions.EmailPattern).as("n_emails"),
+        TextFunctions.piiCount(col("txt"), TextFunctions.Ipv4Pattern).as("n_ipv4"),
+        TextFunctions.piiCount(col("txt"), TextFunctions.PhonePattern).as("n_phones"),
+        TextFunctions.piiRedact(col("txt")).as("redacted"))
+    }),
+
     // ---- multimodal plumbing (real PNG/WAV/AVI header codec)
     "m1_multimodal_decode" -> ((s, d) =>
       Multimodal.decodePipeline(s, t(s, d, "documents"), "doc_id")
@@ -1323,6 +1347,26 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> length(t) > 0)) AS n_ws,
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin,
+
+    // same planted-PII construction, same patterns, same redaction order;
+    // DuckDB's regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all semantics
+    "x8_pii_redact" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@mail.example.org from 10.'
+         |      || (doc_id % 200) || '.0.7 call +1 555 01' || (doc_id % 90 + 10)
+         |      || (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END) AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(txt, '${TextFunctions.EmailPattern}')) AS n_emails,
+         |  len(regexp_extract_all(txt, '${TextFunctions.Ipv4Pattern}')) AS n_ipv4,
+         |  len(regexp_extract_all(txt, '${TextFunctions.PhonePattern}')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextFunctions.PhonePattern}', '<PHONE>', 'g') AS redacted
+         |FROM pii""".stripMargin,
 
     // same lang derivation as x1, then the exact integer sampling hash:
     // (doc_id · 2654435761) mod 2^31 / 2^31 < rate(lang)

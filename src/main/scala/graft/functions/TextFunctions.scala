@@ -115,4 +115,36 @@ object TextFunctions {
       .join(broadcast(evalSh), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("matched_shingles"))
   }
+
+  // ---- PII detection + redaction ------------------------------------
+
+  /** PII patterns, deliberately RE2-compatible (no lookaround, no
+    * backreferences) so an RE2-based oracle (DuckDB) replays detection
+    * counts and replacements byte-for-byte against java.util.regex.
+    * Leftmost-first greedy semantics agree between the two engines for
+    * these alternation-free patterns.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9]{1,2} [0-9]{3} [0-9]{3,4}\\b"
+
+  /** Non-overlapping match count of one PII pattern — a codegen'd regex
+    * scan, zero exchanges.
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Sequential redaction: emails, then IPv4, then phone numbers. Order is
+    * part of the contract — an IPv4-shaped email domain redacts as part of
+    * the email, never as a bare IP — and the oracle applies the same order.
+    * Counting happens on the ORIGINAL text (so overlapping categories each
+    * count), redaction on the running result. Pure `regexp_replace` chain:
+    * whole-stage codegen, embarrassingly parallel at 100 TB.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 }

@@ -223,6 +223,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("pii: counts overlapping categories on original text, redacts in order") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@sub.example.co.uk thanks"),
+      (2L, "server 192.168.0.1 and admin@10.0.0.7 reachable"),  // email w/ IP domain
+      (3L, "call +44 020 7946 today"),
+      (4L, "nothing sensitive here")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.piiCount(col("text"), TextFunctions.EmailPattern).as("e"),
+        TextFunctions.piiCount(col("text"), TextFunctions.Ipv4Pattern).as("i"),
+        TextFunctions.piiCount(col("text"), TextFunctions.PhonePattern).as("p"),
+        TextFunctions.piiRedact(col("text")).as("r"))
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1, 0, 0, "mail me at <EMAIL> thanks")))
+    // an IP-only domain is NOT an email (the TLD must be letters), so the
+    // local-part survives and the address redacts as admin@<IP>
+    assert(got(1) == ((2L, 0, 2, 0, "server <IP> and admin@<IP> reachable")))
+    assert(got(2) == ((3L, 0, 0, 1, "call <PHONE> today")))
+    assert(got(3) == ((4L, 0, 0, 0, "nothing sensitive here")))
+  }
+
   test("shingles windows") {
     val s = Seq("a b c d").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].head()
