@@ -46,7 +46,7 @@ object Bench {
     "m2_frame_sample", "m3_image_resize", "m4_resize_reencode",
     "m5_audio_decode",
     "x1_lang_id", "x2_text_stats", "x3_quality_score", "x4_fingerprint",
-    "x6_stratified_sample", "x7_decontaminate",
+    "x6_stratified_sample", "x7_decontaminate", "x8_pii_redact",
     "w1_turn_order", "m1_multimodal_decode",
     // CSVW mapping/validation/source family (cheap, config-scale fixtures)
     "a1_pk_duplicates", "a2_fk_dup_targets", "a3_comment_rows",
