@@ -563,6 +563,15 @@ object SparkEntry {
         TextFunctions.piiRedact(col("txt")).as("redacted"))
     }),
 
+    // Gopher-style repetition signals: duplicate word/2-gram/3-gram
+    // fractions per document — map-only, fused tokenize + array_distinct
+    "x9_repetition" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).as("n_tok"),
+      TextFunctions.dupNgramFraction(col("text"), 1).as("dup_word_frac"),
+      TextFunctions.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
+      TextFunctions.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"))),
+
     // ---- multimodal plumbing (real PNG/WAV/AVI header codec)
     "m1_multimodal_decode" -> ((s, d) =>
       Multimodal.decodePipeline(s, t(s, d, "documents"), "doc_id")
@@ -1347,6 +1356,38 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> length(t) > 0)) AS n_ws,
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin,
+
+    // same token split as d4/x7's oracle; n-grams via lead() windows;
+    // docs too short for an n-gram get 0.0 via the left-join coalesce
+    "x9_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok, t.pos FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS tok,
+        |      generate_subscripts(string_split_regex(lower(text), '[^a-z0-9'']+'), 1) AS pos
+        |    FROM documents) t(doc_id, tok, pos) WHERE length(tok) > 0),
+        |g1 AS (SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd
+        |       FROM toks GROUP BY 1),
+        |s2 AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS g
+        |       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |       QUALIFY lead(tok, 1) OVER w IS NOT NULL),
+        |g2 AS (SELECT doc_id, count(*) AS n, count(DISTINCT g) AS nd
+        |       FROM s2 GROUP BY 1),
+        |s3 AS (SELECT doc_id,
+        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+        |       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |       QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        |g3 AS (SELECT doc_id, count(*) AS n, count(DISTINCT g) AS nd
+        |       FROM s3 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(g1.n, 0) AS INT) AS n_tok,
+        |  coalesce(round(1 - CAST(g1.nd AS DOUBLE) / g1.n, 4), 0.0) AS dup_word_frac,
+        |  coalesce(round(1 - CAST(g2.nd AS DOUBLE) / g2.n, 4), 0.0) AS dup_2gram_frac,
+        |  coalesce(round(1 - CAST(g3.nd AS DOUBLE) / g3.n, 4), 0.0) AS dup_3gram_frac
+        |FROM documents d
+        |LEFT JOIN g1 ON d.doc_id = g1.doc_id
+        |LEFT JOIN g2 ON d.doc_id = g2.doc_id
+        |LEFT JOIN g3 ON d.doc_id = g3.doc_id""".stripMargin,
 
     // same planted-PII construction, same patterns, same redaction order;
     // DuckDB's regexp_replace needs the explicit 'g' flag to match Spark's

@@ -116,6 +116,23 @@ object TextFunctions {
       .groupBy("doc_id").agg(count(lit(1)).as("matched_shingles"))
   }
 
+  // ---- repetition signals (Gopher-style quality filtering) ----------
+
+  /** Fraction of word n-grams that are duplicates of an earlier n-gram in
+    * the same document — the standard "repetitious document" pre-training
+    * filter signal (duplicate n-gram fraction, n = 1..4 in published
+    * pipelines). `1 - distinct/total`, 0.0 for documents too short to form
+    * an n-gram. One fused tokenize/shingle + `array_distinct` per row:
+    * map-only, no shuffle, the same 100 TB scaling shape as x4/x5.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val grams = if (n == 1) tokens(text) else shingles(text, n)
+    val total = size(grams)
+    when(total <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(grams)).cast("double")
+        / total.cast("double"), 4))
+  }
+
   // ---- PII detection + redaction ------------------------------------
 
   /** PII patterns, deliberately RE2-compatible (no lookaround, no

@@ -41,6 +41,7 @@ class HeadlinePlanSpec extends AnyFunSuite {
     // eval-shingle distinct + matched-rows agg; eval side broadcasts
     ("x7_decontaminate", 2, 1),
     ("x8_pii_redact", 0, 0),
+    ("x9_repetition", 0, 0),
     ("m4_resize_reencode", 0, 0),
     ("m5_audio_decode", 0, 0),
     ("q2_join_broadcast", 1, 1),

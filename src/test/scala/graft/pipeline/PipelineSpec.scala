@@ -243,6 +243,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 0, 0, 0, "nothing sensitive here")))
   }
 
+  test("dup n-gram fraction: repeated phrase scores high, short doc scores 0") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),              // 4 words, 1 distinct -> 0.75
+      (2L, "all words here are unique tokens"), // no dups
+      (3L, "go go north go go north"),          // 2-grams: 5 total, 3 distinct
+      (4L, "one")                               // too short for a 2-gram
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.dupNgramFraction(col("text"), 1).as("w"),
+        TextFunctions.dupNgramFraction(col("text"), 2).as("b"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0.75, 0.6667)))      // 1-1/4; "spam spam" x3 -> 1-1/3
+    assert(got(1) == ((2L, 0.0, 0.0)))
+    assert(got(2)._2 == 0.6667 && got(2)._3 == 0.4)
+    assert(got(3) == ((4L, 0.0, 0.0)))
+  }
+
   test("shingles windows") {
     val s = Seq("a b c d").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].head()
