@@ -29,7 +29,8 @@ class CodegenOnlySpec extends AnyFunSuite {
     "s7_json_minimal", "s3_csv_dialect", "f2_datatype_facets",
     "d2_minhash_lsh", "d3_simhash", "d4_jaccard_capped", "d5_embedding_dup",
     "s3_ann_ivf",
-    "x1_lang_id", "x5_token_bpe", "m1_multimodal_decode", "m2_frame_sample",
+    "x1_lang_id", "x5_token_bpe", "x8_pii_redact", "x9_repetition",
+    "m1_multimodal_decode", "m2_frame_sample",
     "q1_agg", "q3_window", "j3_entity_link", "j4_connected_components")
 
   test("representative queries run with codegen fallback forbidden") {
