@@ -243,6 +243,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 0, 0, 0, "nothing sensitive here")))
   }
 
+  test("pii redaction is idempotent over seeded random documents") {
+    val rnd = new scala.util.Random(11)
+    val frags = Seq("plain text", "a@b.co", "10.0.0.1", "+1 555 0100",
+      "x.y", "@", "%", "dot.", "42", "bob.smith+t@ex.org")
+    val docs = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(8) + 1).map(_ => frags(rnd.nextInt(frags.length))).mkString(" "))
+    val df = docs.toDF("text")
+    val once = df.select(TextFunctions.piiRedact(col("text")).as("r"))
+    val pairs = once.select(col("r"),
+        TextFunctions.piiRedact(col("r")).as("r2"))
+      .as[(String, String)].collect()
+    pairs.foreach { case (r, r2) => assert(r == r2, s"not idempotent: '$r'") }
+    // and a redacted doc carries no residual matches
+    val residual = once.filter(
+      TextFunctions.piiCount(col("r"), TextFunctions.EmailPattern) +
+      TextFunctions.piiCount(col("r"), TextFunctions.Ipv4Pattern) +
+      TextFunctions.piiCount(col("r"), TextFunctions.PhonePattern) > 0).count()
+    assert(residual == 0L)
+  }
+
   test("dup n-gram fraction: repeated phrase scores high, short doc scores 0") {
     val df = Seq(
       (1L, "spam spam spam spam"),              // 4 words, 1 distinct -> 0.75
