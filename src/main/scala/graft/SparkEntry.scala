@@ -572,6 +572,12 @@ object SparkEntry {
       TextFunctions.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
       TextFunctions.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"))),
 
+    // CCNet-lite quality: per-doc mean corpus frequency of its tokens —
+    // vocabulary built from the corpus itself, integer-exact until one
+    // final division (no cross-engine log hazard)
+    "x10_word_rarity" -> ((s, d) =>
+      TextFunctions.wordRarity(t(s, d, "documents"), "doc_id", "text")),
+
     // ---- multimodal plumbing (real PNG/WAV/AVI header codec)
     "m1_multimodal_decode" -> ((s, d) =>
       Multimodal.decodePipeline(s, t(s, d, "documents"), "doc_id")
@@ -1388,6 +1394,24 @@ object SparkEntry {
         |LEFT JOIN g1 ON d.doc_id = g1.doc_id
         |LEFT JOIN g2 ON d.doc_id = g2.doc_id
         |LEFT JOIN g3 ON d.doc_id = g3.doc_id""".stripMargin,
+
+    // same token split; vocabulary = the corpus's own unigram counts;
+    // integers until the single final division
+    "x10_word_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS tok
+        |    FROM documents) t(doc_id, tok) WHERE length(tok) > 0),
+        |vocab AS (SELECT tok, count(*) AS cf FROM toks GROUP BY 1),
+        |agg AS (
+        |  SELECT t.doc_id, count(*) AS n, sum(v.cf) AS cfs
+        |  FROM toks t JOIN vocab v ON t.tok = v.tok GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(agg.n, 0) AS INT) AS n_tok,
+        |  CAST(coalesce(agg.cfs, 0) AS BIGINT) AS cf_sum,
+        |  coalesce(round(CAST(agg.cfs AS DOUBLE) / agg.n, 4), 0.0) AS mean_cf
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
 
     // same planted-PII construction, same patterns, same redaction order;
     // DuckDB's regexp_replace needs the explicit 'g' flag to match Spark's

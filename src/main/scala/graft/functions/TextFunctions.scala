@@ -133,6 +133,37 @@ object TextFunctions {
         / total.cast("double"), 4))
   }
 
+  // ---- corpus-frequency quality signal (CCNet-style LM-lite) --------
+
+  /** Per-document mean corpus frequency of its tokens — the integer-exact
+    * core of CCNet-style language-model filtering: fluent text is built
+    * from common words (high mean frequency), garbage from rare ones. The
+    * model is the corpus's own unigram count table; the score stays in
+    * integers (`sum(count)` / `n_tokens`) until ONE final division, so it
+    * replays bit-exactly in any engine — no cross-libm `log` hazard.
+    *
+    * Shape: one shuffle to build the vocabulary, a broadcast join to score
+    * tokens, one doc-keyed aggregate (map-side partial). At 100 TB the raw
+    * vocabulary outgrows a broadcast — cap the model to the top-K words by
+    * frequency (unmatched tokens score the floor frequency 1, i.e.
+    * maximally rare; standard CCNet practice) or switch the score join to
+    * sort-merge on token; the aggregate shape is unchanged either way.
+    */
+  def wordRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val agg = toks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("cf").as("cfs"))
+    df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("int").as("n_tok"),
+        coalesce(col("cfs"), lit(0L)).as("cf_sum"),
+        coalesce(round(col("cfs").cast("double") / col("n"), 4), lit(0.0))
+          .as("mean_cf"))
+  }
+
   // ---- PII detection + redaction ------------------------------------
 
   /** PII patterns, deliberately RE2-compatible (no lookaround, no

@@ -263,6 +263,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(residual == 0L)
   }
 
+  test("word rarity: common-word docs score high, empty docs score 0") {
+    val df = Seq(
+      (1L, "go go go"),        // cf(go)=4 (3 here + 1 in doc 3): mean 4.0
+      (2L, "unique words only"),
+      (3L, "go north"),        // (4 + 1) / 2 = 2.5
+      (4L, "")
+    ).toDF("id", "text")
+    val got = TextFunctions.wordRarity(df, "id", "text")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3, 12L, 4.0)))
+    assert(got(1) == ((2L, 3, 3L, 1.0)))
+    assert(got(2) == ((3L, 2, 5L, 2.5)))
+    assert(got(3) == ((4L, 0, 0L, 0.0)))
+  }
+
   test("dup n-gram fraction: repeated phrase scores high, short doc scores 0") {
     val df = Seq(
       (1L, "spam spam spam spam"),              // 4 words, 1 distinct -> 0.75
