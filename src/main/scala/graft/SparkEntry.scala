@@ -578,6 +578,25 @@ object SparkEntry {
     "x10_word_rarity" -> ((s, d) =>
       TextFunctions.wordRarity(t(s, d, "documents"), "doc_id", "text")),
 
+    // URL filtering: planted deterministic links (the synthetic corpus has
+    // none), then count + first-domain + blocklist flag — one codegen'd
+    // regex stage, 0 exchanges
+    "x11_url_filter" -> ((s, d) => {
+      val withUrls = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" and http://cdn"), (col("doc_id") % 3).cast("string"),
+              lit(".example/img")))
+            .otherwise(lit(""))).as("txt"))
+      withUrls.select(col("doc_id"),
+        TextFunctions.urlCount(col("txt")).as("n_urls"),
+        TextFunctions.firstUrlDomain(col("txt")).as("first_domain"),
+        TextFunctions.urlBlocked(col("txt"),
+          Seq("site0.example", "site3.example", "cdn1.example")).as("blocked"))
+    }),
+
     // ---- multimodal plumbing (real PNG/WAV/AVI header codec)
     "m1_multimodal_decode" -> ((s, d) =>
       Multimodal.decodePipeline(s, t(s, d, "documents"), "doc_id")
@@ -1412,6 +1431,22 @@ object SparkEntry {
         |  CAST(coalesce(agg.cfs, 0) AS BIGINT) AS cf_sum,
         |  coalesce(round(CAST(agg.cfs AS DOUBLE) / agg.n, 4), 0.0) AS mean_cf
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+
+    // same planted URLs; blocklist flag via the same alternation regex
+    "x11_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 7) || '.example/p/' || doc_id
+        |      || (CASE WHEN doc_id % 5 = 0
+        |          THEN ' and http://cdn' || (doc_id % 3) || '.example/img'
+        |          ELSE '' END) AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(txt, 'https?://[^\s]+')) AS n_urls,
+        |  lower(regexp_extract(txt, 'https?://([^/\s]+)', 1)) AS first_domain,
+        |  regexp_matches(lower(txt),
+        |    'https?://(?:site0\.example|site3\.example|cdn1\.example)(?:[/\s]|$)') AS blocked
+        |FROM u""".stripMargin,
 
     // same planted-PII construction, same patterns, same redaction order;
     // DuckDB's regexp_replace needs the explicit 'g' flag to match Spark's

@@ -133,6 +133,38 @@ object TextFunctions {
         / total.cast("double"), 4))
   }
 
+  // ---- URL extraction + domain blocklist ----------------------------
+
+  /** URL pattern, RE2-compatible: scheme + non-space run. The standard
+    * pretraining URL-filtering pass: extract, count, and flag documents
+    * whose links hit a domain blocklist. Everything is a codegen'd regex
+    * scan (RegExpExtractAll / RegExpExtract / RLike all have doGenCode) —
+    * deliberately NOT the `transform`-HOF formulation, which is
+    * CodegenFallback and would knock the text pipeline out of
+    * whole-stage codegen. Map-only.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0)))
+
+  /** Lowercased authority of the document's FIRST link ('' when none). */
+  def firstUrlDomain(text: Column): Column =
+    lower(regexp_extract(text, "https?://([^/\\s]+)", 1))
+
+  /** True when any link's domain is in `blocked` — compiled to ONE
+    * alternation regex anchored to the scheme, with a `/`, whitespace, or
+    * end-of-string boundary after the domain. Case-insensitive via
+    * lowercased text match. For a blocklist beyond literal inlining
+    * (millions of domains), broadcast a blocklist table and semi-join
+    * exploded domains instead; this compiled form is for the curated
+    * shortlists real pipelines inline per job.
+    */
+  def urlBlocked(text: Column, blocked: Seq[String]): Column = {
+    val alt = blocked.map(_.toLowerCase.replace(".", "\\.")).mkString("|")
+    lower(text).rlike(s"https?://(?:$alt)(?:[/\\s]|$$)")
+  }
+
   // ---- corpus-frequency quality signal (CCNet-style LM-lite) --------
 
   /** Per-document mean corpus frequency of its tokens — the integer-exact

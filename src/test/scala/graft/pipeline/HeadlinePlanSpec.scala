@@ -42,6 +42,7 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("x7_decontaminate", 2, 1),
     ("x8_pii_redact", 0, 0),
     ("x9_repetition", 0, 0),
+    ("x11_url_filter", 0, 0),
     // vocab agg + doc agg; vocab broadcast + AQE-broadcast doc left-join
     ("x10_word_rarity", 2, 2),
     ("m4_resize_reencode", 0, 0),

@@ -263,6 +263,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(residual == 0L)
   }
 
+  test("url filter: count, first domain, blocklist domain boundary") {
+    val df = Seq(
+      (1L, "go to https://Site0.example/path and http://a.b/x"),
+      (2L, "bare https://site0.example"),
+      (3L, "prefix trap https://site00.example/x"),
+      (4L, "no links here")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.urlCount(col("text")).as("n"),
+        TextFunctions.firstUrlDomain(col("text")).as("d"),
+        TextFunctions.urlBlocked(col("text"), Seq("site0.example")).as("b"))
+      .as[(Long, Int, String, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2, "site0.example", true)))   // case-insensitive, / boundary
+    assert(got(1) == ((2L, 1, "site0.example", true)))   // end-of-string boundary
+    assert(got(2) == ((3L, 1, "site00.example", false))) // longer domain must not match
+    assert(got(3) == ((4L, 0, "", false)))
+  }
+
   test("word rarity: common-word docs score high, empty docs score 0") {
     val df = Seq(
       (1L, "go go go"),        // cf(go)=4 (3 here + 1 in doc 3): mean 4.0
