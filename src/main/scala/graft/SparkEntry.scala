@@ -1445,7 +1445,7 @@ object SparkEntry {
         |  len(regexp_extract_all(txt, 'https?://[^\s]+')) AS n_urls,
         |  lower(regexp_extract(txt, 'https?://([^/\s]+)', 1)) AS first_domain,
         |  regexp_matches(lower(txt),
-        |    'https?://(?:site0\.example|site3\.example|cdn1\.example)(?:[/\s]|$)') AS blocked
+        |    'https?://(?:site0\.example|site3\.example|cdn1\.example)(?:[/\s]|\z)') AS blocked
         |FROM u""".stripMargin,
 
     // same planted-PII construction, same patterns, same redaction order;

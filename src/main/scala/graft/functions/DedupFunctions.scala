@@ -366,8 +366,9 @@ object DedupFunctions {
     * caller's anti-join of the corpus against the `keep = false` rows.
     * The cluster-size join shuffles only cluster members.
     *
-    * Ids must be non-negative: components run on zero-padded decimal
-    * strings ([[graft.link.ConnectedComponents]] is string-keyed for the
+    * Ids must be non-negative (ENFORCED — a negative id raises at execution
+    * time): components run on zero-padded decimal strings
+    * ([[graft.link.ConnectedComponents]] is string-keyed for the
     * entity-graph use) so lexicographic min == numeric min.
     */
   def dupClusters(spark: SparkSession, df: DataFrame, idCol: String,
@@ -375,9 +376,18 @@ object DedupFunctions {
                   shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
     val pairs = minhashDupPairs(df, idCol, textCol, bands, rowsPerBand,
       shingleSize, threshold)
+    // enforce the documented non-negative-id contract at execution time: a
+    // negative id would zero-pad to e.g. "000…0-5", breaking the
+    // lexicographic-min == numeric-min invariant silently — fail loudly
+    // instead (raise_error is codegen'd; the check rides the edge
+    // projection, no extra action or shuffle)
+    def nonNegKey(c: Column): Column = lpad(
+      when(c >= 0, c).otherwise(raise_error(concat(
+        lit("dupClusters: ids must be non-negative, got "), c.cast("string"))))
+        .cast("string"), 20, "0")
     val edges = pairs.select(
-      lpad(col("id_a").cast("string"), 20, "0").as("src"),
-      lpad(col("id_b").cast("string"), 20, "0").as("dst"))
+      nonNegKey(col("id_a")).as("src"),
+      nonNegKey(col("id_b")).as("dst"))
     val members = ConnectedComponents.run(spark, edges)
       .select(col("id").cast("long").as("member"),
         col("component").cast("long").as("cluster_id"))

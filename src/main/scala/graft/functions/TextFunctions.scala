@@ -108,13 +108,26 @@ object TextFunctions {
                     evalDocs: DataFrame, evalTextCol: String,
                     n: Int = 8): DataFrame = {
     val evalSh = evalDocs
-      .select(explode(array_distinct(shingles(col(evalTextCol), n))).as("shingle"))
+      .select(explode(array_distinct(fullShingles(col(evalTextCol), n))).as("shingle"))
       .distinct()
     corpus.select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+        explode(array_distinct(fullShingles(col(textCol), n))).as("shingle"))
       .join(broadcast(evalSh), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("matched_shingles"))
   }
+
+  /** Shingles for decontamination semantics: documents with fewer than `n`
+    * tokens contribute NO n-grams (empty array), matching the published
+    * definition and the lead()-window oracle formulation. This differs
+    * deliberately from [[shingles]] (whose sub-n whole-text shingle exists
+    * so every document gets a MinHash signature in the dedup family): a
+    * short eval doc must not flag itself or identical short corpus docs.
+    * The `tokens` subtree is shared by Catalyst CSE, so the guard costs no
+    * second tokenization.
+    */
+  private def fullShingles(text: Column, n: Int): Column =
+    when(size(tokens(text)) >= n, shingles(text, n))
+      .otherwise(array().cast("array<string>"))
 
   // ---- repetition signals (Gopher-style quality filtering) ----------
 
@@ -128,9 +141,14 @@ object TextFunctions {
   def dupNgramFraction(text: Column, n: Int): Column = {
     val grams = if (n == 1) tokens(text) else shingles(text, n)
     val total = size(grams)
-    when(total <= 0, lit(0.0)).otherwise(
-      round(lit(1.0) - size(array_distinct(grams)).cast("double")
-        / total.cast("double"), 4))
+    // size(NULL array) is NULL (not -1) under Spark's ANSI-era defaults, so
+    // a NULL text would fall through the `when` to a NULL fraction while the
+    // oracle's left-join coalesces missing docs to 0.0 — coalesce to match.
+    coalesce(
+      when(total <= 0, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(grams)).cast("double")
+          / total.cast("double"), 4)),
+      lit(0.0))
   }
 
   // ---- URL extraction + domain blocklist ----------------------------
@@ -154,16 +172,28 @@ object TextFunctions {
 
   /** True when any link's domain is in `blocked` — compiled to ONE
     * alternation regex anchored to the scheme, with a `/`, whitespace, or
-    * end-of-string boundary after the domain. Case-insensitive via
-    * lowercased text match. For a blocklist beyond literal inlining
-    * (millions of domains), broadcast a blocklist table and semi-join
-    * exploded domains instead; this compiled form is for the curated
-    * shortlists real pipelines inline per job.
+    * end-of-text boundary after the domain. The boundary is `\z` (end of
+    * TEXT), not `$`: java.util.regex `$` also matches before a final line
+    * terminator (including U+2028/U+0085, which `\s` does NOT cover) while
+    * RE2/DuckDB `$` means end of text only — `\z` has identical semantics
+    * in both engines. Blocklist entries are escaped per character (every
+    * regex metacharacter, not just '.'), so entries are always literal
+    * domains. Case-insensitive via lowercased text match. For a blocklist
+    * beyond literal inlining (millions of domains), broadcast a blocklist
+    * table and semi-join exploded domains instead; this compiled form is
+    * for the curated shortlists real pipelines inline per job.
     */
   def urlBlocked(text: Column, blocked: Seq[String]): Column = {
-    val alt = blocked.map(_.toLowerCase.replace(".", "\\.")).mkString("|")
-    lower(text).rlike(s"https?://(?:$alt)(?:[/\\s]|$$)")
+    val alt = blocked.map(d => re2Quote(d.toLowerCase)).mkString("|")
+    lower(text).rlike(s"https?://(?:$alt)(?:[/\\s]|\\z)")
   }
+
+  /** Escape every regex metacharacter with a backslash — the portable
+    * subset of `Pattern.quote` (RE2 has no `\Q…\E`-free guarantee across
+    * engines' quoting corners, so per-char escaping is the common ground).
+    */
+  def re2Quote(s: String): String =
+    s.flatMap(c => if ("\\.[]{}()*+?^$|-".indexOf(c) >= 0) s"\\$c" else c.toString)
 
   // ---- corpus-frequency quality signal (CCNet-style LM-lite) --------
 

@@ -215,9 +215,12 @@ class FunctionsSpec extends AnyFunSuite {
       (2L, "beta gamma delta z beta gamma delta"),             // shares "beta gamma delta"
       (3L, "alpha beta gamma delta w"),                        // shares both
       (4L, "totally clean text with no overlap at all"),       // clean
-      (5L, "alpha beta")                                       // too short for a 3-gram
+      (5L, "alpha beta"),                                      // too short for a 3-gram
+      (6L, "pp qq")                                            // identical to the short eval doc
     ).toDF("doc_id", "text")
-    val ev = Seq(Tuple1(evalTxt)).toDF("text")
+    // a sub-n eval doc contributes NO shingles (lead()-window semantics):
+    // it must not flag itself or an identical short corpus doc
+    val ev = Seq(Tuple1(evalTxt), Tuple1("pp qq")).toDF("text")
     val got = TextFunctions.contamination(docs, "doc_id", "text", ev, "text", n = 3)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
@@ -280,6 +283,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 0, "", false)))
   }
 
+  test("url blocklist: \\z boundary and full metachar escaping match RE2 semantics") {
+    // U+2028 is a java.util.regex line terminator (so `$` would match before
+    // it) but is NOT \s in either engine — with \z both engines say false
+    val df = Seq(
+      (1L, "see https://site0.example "),
+      (2L, "see https://site0.example\n"),     // \n IS [/\s] — true in both
+      (3L, "see https://si+e.example/x"),      // literal '+' in the domain
+      (4L, "see https://siiie.example/x")      // what an unescaped 'si+e' regex would match
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.urlBlocked(col("text"), Seq("site0.example")).as("b0"),
+        TextFunctions.urlBlocked(col("text"), Seq("si+e.example")).as("bp"))
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, false, false)))
+    assert(got(1) == ((2L, true, false)))
+    assert(got(2) == ((3L, false, true)))
+    assert(got(3) == ((4L, false, false)))
+  }
+
   test("word rarity: common-word docs score high, empty docs score 0") {
     val df = Seq(
       (1L, "go go go"),        // cf(go)=4 (3 here + 1 in doc 3): mean 4.0
@@ -300,7 +322,8 @@ class FunctionsSpec extends AnyFunSuite {
       (1L, "spam spam spam spam"),              // 4 words, 1 distinct -> 0.75
       (2L, "all words here are unique tokens"), // no dups
       (3L, "go go north go go north"),          // 2-grams: 5 total, 3 distinct
-      (4L, "one")                               // too short for a 2-gram
+      (4L, "one"),                              // too short for a 2-gram
+      (5L, null.asInstanceOf[String])           // NULL text scores 0.0, not NULL
     ).toDF("id", "text")
     val got = df.select(col("id"),
         TextFunctions.dupNgramFraction(col("text"), 1).as("w"),
@@ -310,6 +333,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 0.0, 0.0)))
     assert(got(2)._2 == 0.6667 && got(2)._3 == 0.4)
     assert(got(3) == ((4L, 0.0, 0.0)))
+    assert(got(4) == ((5L, 0.0, 0.0)))          // size(NULL)=NULL must not leak through
   }
 
   test("shingles windows") {
@@ -348,6 +372,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows == Set(
       (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
       (4L, 4L, 2L, true), (5L, 4L, 2L, false)))
+  }
+
+  test("dupClusters: negative ids fail loudly, not silently mis-cluster") {
+    // a negative id zero-pads to "000…0-5", which would break the
+    // lexicographic-min == numeric-min invariant — the edge projection must
+    // raise instead of emitting a wrong cluster_id
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val df = Seq((-1L, base), (2L, base)).toDF("id", "text")
+    val ex = intercept[Exception] {
+      DedupFunctions.dupClusters(spark, df, "id", "text", threshold = 0.3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("non-negative")), msgs(ex).mkString(" | "))
   }
 
   test("simhash: exact dup at hamming 0, unrelated excluded") {
