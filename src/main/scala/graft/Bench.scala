@@ -48,6 +48,7 @@ object Bench {
     "x1_lang_id", "x2_text_stats", "x3_quality_score", "x4_fingerprint",
     "x6_stratified_sample", "x7_decontaminate", "x8_pii_redact",
     "x9_repetition", "x10_word_rarity", "x11_url_filter",
+    "x12_line_dedup", "x13_seq_pack",
     "w1_turn_order", "m1_multimodal_decode",
     // CSVW mapping/validation/source family (cheap, config-scale fixtures)
     "a1_pk_duplicates", "a2_fk_dup_targets", "a3_comment_rows",

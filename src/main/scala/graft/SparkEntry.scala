@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AnnFunctions, DedupFunctions, Multimodal, Sampling, TextFunctions}
+import graft.functions.{AnnFunctions, DedupFunctions, Multimodal, Packing, Sampling, TextFunctions}
 import graft.link.{ConnectedComponents, EntityLink}
 import graft.mapper.{TripleMapper, Vocab}
 import graft.model.{CsvwJson, Resolve, ResolvedTable}
@@ -596,6 +596,28 @@ object SparkEntry {
         TextFunctions.urlBlocked(col("txt"),
           Seq("site0.example", "site3.example", "cdn1.example")).as("blocked"))
     }),
+
+    // line-level dedup (boilerplate removal): the synthetic corpus is
+    // single-line, so each doc gets planted lines — one universal footer,
+    // one %3 banner (both cross the minDf=10 bar and must drop), and a
+    // unique "ref N" tail that must survive; the doc's own text line lives
+    // or dies by its organic corpus frequency, identically on both sides
+    "x12_line_dedup" -> ((s, d) => {
+      val withLines = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          col("text"), lit("\nsubscribe to our newsletter\n"),
+          when(col("doc_id") % 3 === 0, lit("copyright 2026 example corp\n"))
+            .otherwise(lit("")),
+          lit("ref "), col("doc_id").cast("string")).as("txt"))
+      DedupFunctions.lineDedup(withLines, "doc_id", "txt", minDf = 10L)
+    }),
+
+    // sequence packing (concat-and-chunk): deterministic (pack, offset)
+    // assignment from a two-level distributed prefix sum over BPE token
+    // counts — budget/blockSize sized so sf0.01 spans many packs and blocks
+    "x13_seq_pack" -> ((s, d) =>
+      Packing.packSequences(t(s, d, "documents"), "doc_id", "text",
+        budget = 512L, blockSize = 64L)),
 
     // ---- multimodal plumbing (real PNG/WAV/AVI header codec)
     "m1_multimodal_decode" -> ((s, d) =>
@@ -1447,6 +1469,53 @@ object SparkEntry {
         |  regexp_matches(lower(txt),
         |    'https?://(?:site0\.example|site3\.example|cdn1\.example)(?:[/\s]|\z)') AS blocked
         |FROM u""".stripMargin,
+
+    // same planted lines; boilerplate = non-empty lines with >= 10
+    // occurrences corpus-wide; clean_text reassembles survivors in order
+    // (string_agg skips the NULLed dup lines; empty-survivor docs coalesce
+    // to '' to match Spark's array_join of an empty array)
+    "x12_line_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'subscribe to our newsletter' || chr(10)
+        |      || (CASE WHEN doc_id % 3 = 0
+        |          THEN 'copyright 2026 example corp' || chr(10) ELSE '' END)
+        |      || 'ref ' || doc_id AS txt
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, t.line, t.pos FROM (
+        |    SELECT doc_id, unnest(string_split(txt, chr(10))) AS line,
+        |      generate_subscripts(string_split(txt, chr(10)), 1) AS pos
+        |    FROM u) t(doc_id, line, pos)),
+        |d AS (SELECT line FROM l WHERE length(line) > 0
+        |      GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT l.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(d.line) AS BIGINT) AS n_dup_lines,
+        |  coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+        |    chr(10) ORDER BY l.pos), '') AS clean_text
+        |FROM l LEFT JOIN d ON l.line = d.line
+        |GROUP BY 1""".stripMargin,
+
+    // same BPE token regex as x5; global exclusive prefix sum in doc_id
+    // order, chunked at budget 512 (the Spark side computes the identical
+    // cumsum via the two-level block decomposition)
+    "x13_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(n_tok AS INT) AS n_tok,
+        |  CAST(cum_before AS BIGINT) AS cum_before,
+        |  CAST(cum_before // 512 AS BIGINT) AS pack_id,
+        |  CAST(cum_before % 512 AS BIGINT) AS pack_offset
+        |FROM c""".stripMargin,
 
     // same planted-PII construction, same patterns, same redaction order;
     // DuckDB's regexp_replace needs the explicit 'g' flag to match Spark's

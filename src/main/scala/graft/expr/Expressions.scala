@@ -711,6 +711,54 @@ case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+object LineRuntime extends Serializable {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private val NL = UTF8String.fromString("\n")
+
+  /** Reassemble kept document lines from `array<struct<pos:int,line:string>>`
+    * in position order — the post-aggregation step of line-level dedup. The
+    * composed-Column alternative (`array_sort` + `transform` + `array_join`)
+    * is CodegenFallback (higher-order functions have no doGenCode), which
+    * would knock the final aggregate projection out of whole-stage codegen;
+    * this is one fused call. Arrays are per-document (bounded), so an
+    * index sort is plenty.
+    */
+  def assemble(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val pos = new Array[Int](n)
+    val lines = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 2)
+      pos(i) = r.getInt(0)
+      lines(i) = r.getUTF8String(1)
+      i += 1
+    }
+    val order = Array.range(0, n).sortBy(pos)
+    val sorted = new Array[UTF8String](n)
+    i = 0
+    while (i < n) { sorted(i) = lines(order(i)); i += 1 }
+    UTF8String.concatWs(NL, sorted: _*)
+  }
+}
+
+/** Position-ordered line reassembly as one fused codegen call. */
+case class AssembleLinesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    LineRuntime.assemble(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.LineRuntime$$.MODULE$$.assemble($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AssembleLinesExpr =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the custom expressions. */
 object CsvwFunctions {
   import org.apache.spark.sql.GraftBridge
@@ -748,6 +796,9 @@ object CsvwFunctions {
 
   def tokensArr(text: Column): Column =
     GraftBridge.column(TokensExpr(GraftBridge.expression(text)))
+
+  def assembleLines(posLines: Column): Column =
+    GraftBridge.column(AssembleLinesExpr(GraftBridge.expression(posLines)))
 
   /** Plan-time expansion of a template whose variables are all known
     * constants (used to bake constant predicates into [[LitTripleSpec]]s) —

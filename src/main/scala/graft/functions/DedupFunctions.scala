@@ -397,4 +397,43 @@ object DedupFunctions {
       .select(col("member"), col("cluster_id"), col("cluster_size"),
         (col("member") === col("cluster_id")).as("keep"))
   }
+
+  /** Line-level dedup (CCNet/RefinedWeb-style boilerplate removal): drop
+    * every non-empty line that occurs at least `minDf` times across the
+    * corpus — navigation chrome, cookie banners, copyright footers — and
+    * reassemble each document from its surviving lines in original order.
+    *
+    * Returns `(doc_id, n_lines, n_dup_lines, clean_text)`. Occurrence
+    * counts (not distinct-document counts) are the contract, matching the
+    * published paragraph-hash formulation; within-document repetition is
+    * x9's signal, not this one's.
+    *
+    * 100 TB shape: the line-frequency aggregate is ONE hash shuffle with
+    * map-side partials (duplicate lines collapse before the exchange —
+    * boilerplate by definition), and only lines with `df >= minDf` survive
+    * the filter, so the dup-line table is the BOILERPLATE set, tiny by
+    * construction — it broadcasts. The reassembly aggregate is the only
+    * corpus-sized exchange (one row per line, ids + text, keyed by doc).
+    * Reassembly sorts per-doc line arrays inside one fused codegen call
+    * ([[graft.expr.AssembleLinesExpr]]); the `array_sort`+`transform` HOF
+    * alternative is CodegenFallback.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDf: Long = 10L): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .filter(length(col("line")) > 0)
+      .groupBy("line").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select(col("line"), lit(true).as("is_dup"))
+    lines.join(broadcast(boiler), Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L))).as("n_dup_lines"),
+        graft.expr.CsvwFunctions.assembleLines(
+          collect_list(when(col("is_dup").isNull,
+            struct(col("pos"), col("line"))))).as("clean_text"))
+  }
 }

@@ -30,7 +30,7 @@ class CodegenOnlySpec extends AnyFunSuite {
     "d2_minhash_lsh", "d3_simhash", "d4_jaccard_capped", "d5_embedding_dup",
     "s3_ann_ivf",
     "x1_lang_id", "x5_token_bpe", "x8_pii_redact", "x9_repetition",
-    "x10_word_rarity", "x11_url_filter",
+    "x10_word_rarity", "x11_url_filter", "x12_line_dedup", "x13_seq_pack",
     "m1_multimodal_decode", "m2_frame_sample",
     "q1_agg", "q3_window", "j3_entity_link", "j4_connected_components")
 

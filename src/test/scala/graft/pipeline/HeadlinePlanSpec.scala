@@ -45,6 +45,11 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("x11_url_filter", 0, 0),
     // vocab agg + doc agg; vocab broadcast + AQE-broadcast doc left-join
     ("x10_word_rarity", 2, 2),
+    // line-df agg + doc reassembly agg; boilerplate table broadcasts
+    ("x12_line_dedup", 2, 1),
+    // block-sum agg + n_blocks single-partition window + block-keyed window;
+    // block offsets broadcast
+    ("x13_seq_pack", 3, 1),
     ("m4_resize_reencode", 0, 0),
     ("m5_audio_decode", 0, 0),
     ("q2_join_broadcast", 1, 1),

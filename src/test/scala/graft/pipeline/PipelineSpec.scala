@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.functions.{AnnFunctions, DedupFunctions, Multimodal, TextFunctions}
+import graft.functions.{AnnFunctions, DedupFunctions, Multimodal, Packing, TextFunctions}
 import graft.link.{ConnectedComponents, EntityLink}
 import graft.materialize.GraphWriter
 import graft.sources.CsvDialectSource
@@ -386,6 +386,46 @@ class FunctionsSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("non-negative")), msgs(ex).mkString(" | "))
+  }
+
+  test("lineDedup: corpus-frequent lines drop, order preserved, all-dropped doc -> ''") {
+    val df = Seq(
+      (1L, "unique one\nBOILER\nkeep tail"),
+      (2L, "BOILER\nanother unique"),
+      (3L, "BOILER"),                       // every line dropped
+      (4L, "solo\n\nBOILER")                // empty line survives (never counted as dup)
+    ).toDF("id", "text")
+    val got = DedupFunctions.lineDedup(df, "id", "text", minDf = 3L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 1L, "unique one\nkeep tail")))
+    assert(got(1) == ((2L, 2L, 1L, "another unique")))
+    assert(got(2) == ((3L, 1L, 1L, "")))
+    assert(got(3) == ((4L, 3L, 1L, "solo\n")))
+  }
+
+  test("assembleLines restores position order in one fused call") {
+    val got = Seq(Tuple1(1)).toDF("x").select(
+      graft.expr.CsvwFunctions.assembleLines(
+        array(struct(lit(2).as("pos"), lit("c").as("line")),
+              struct(lit(0).as("pos"), lit("a").as("line")),
+              struct(lit(1).as("pos"), lit("b").as("line"))))).as[String].head()
+    assert(got == "a\nb\nc")
+  }
+
+  test("packSequences: block-decomposed prefix sum == naive global cumsum") {
+    // "tok" is one BPE token (<=4 letters), so n_tok = (id % 7) + 1 exactly
+    val df = (0L until 50L).map(i => (i, ("tok " * ((i % 7) + 1).toInt).trim))
+      .toDF("id", "text")
+    val got = Packing.packSequences(df, "id", "text", budget = 10L, blockSize = 8L)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    got.foreach { case (id, n, before, pid, off) =>
+      assert(n == (id % 7) + 1, s"doc $id")
+      assert(before == cum, s"doc $id cum_before")
+      assert(pid == cum / 10 && off == cum % 10, s"doc $id pack")
+      cum += n
+    }
+    assert(got.length == 50)
   }
 
   test("simhash: exact dup at hamming 0, unrelated excluded") {
