@@ -192,8 +192,15 @@ object CsvwReader {
     // unique per (table, logical row) so default-subject bnodes never
     // collide across tables
     val bind = resolved.zip(reads).zipWithIndex.map { case ((rt, (_, exact, _)), i) =>
+      // a declared column beyond the scan's width (headerless empty file,
+      // or schema wider than the data) binds as an all-null slot — the
+      // row-less/short-row case must flow through as empty cells, not fail
+      // analysis on an unresolvable _cK
+      val scanCols = exact.rows.columns.toSet
       val inputs = rt.nonVirtual.zipWithIndex.map { case (c, k) =>
-        c.name -> col(s"_c${k + 1}")
+        val slot = s"_c${k + 1}"
+        c.name -> (if (scanCols.contains(slot)) col(slot)
+                   else lit(null).cast("string"))
       }.toMap
       rt.url -> CsvwPipeline.BoundTable(
         exact.rows, inputs,

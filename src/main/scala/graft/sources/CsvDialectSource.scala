@@ -170,8 +170,12 @@ object CsvDialectSource extends Serializable {
     val numbered = dataLines.zipWithIndex().map { case ((src, cells), i) =>
       Row.fromSeq((i + 1) +: src +: cells.toSeq)
     }
-    val width = if (numbered.isEmpty()) 0
+    val dataWidth = if (numbered.isEmpty()) 0
       else numbered.map(_.length - 2).max()
+    // a header-only table is valid CSVW (zero row triples, clean
+    // validation): it must still expose one _c slot per header column, or
+    // downstream cell binding fails ANALYSIS instead of yielding zero rows
+    val width = math.max(dataWidth, headerTitles.length)
     val padded = numbered.map { r =>
       val cells = r.toSeq.drop(2).map(_.asInstanceOf[String])
       Row.fromSeq(r.toSeq.take(2) ++ cells.padTo(width, ""))
