@@ -412,6 +412,21 @@ object SparkEntry {
         "doc_id", "text", bands = 8, rowsPerBand = 4, threshold = 0.5)
     }),
 
+    // SemDeDup-style semantic dedup: k-means cells from the SAME trained
+    // codebook contract as s3 (k=16, 2 Lloyd rounds, lowest-id init over
+    // the base table), corpus = originals + planted %5 near-copies; within
+    // each cell the larger-id member of any >= 0.95-cosine pair drops. The
+    // DuckDB oracle replays training, assignment, the within-cell pair
+    // sweep, and the keep flags — full algorithm parity
+    "d7_semantic_dedup" -> ((s, d) => {
+      val base = embeddingsDouble(s, d)
+      val corpus = base.unionByName(perturbedCopies(base.filter(col("vec_id") % 5 === 0)))
+      val centroids = AnnFunctions.trainCodebook(base, "vec_id", "embedding",
+        k = 16, iters = 2)
+      DedupFunctions.semanticDupFlags(corpus, "vec_id", "embedding",
+        centroids, threshold = 0.95)
+    }),
+
     // normalization-only mutation (case/whitespace/punctuation): tokens() is
     // invariant to it, so the copy's simhash is bit-identical — recall at the
     // requested radius is *guaranteed* by the pigeonhole blocking (the
@@ -1621,6 +1636,58 @@ object SparkEntry {
         |SELECT member, cluster_id, CAST(3 AS BIGINT) AS cluster_size,
         |  (member = cluster_id) AS keep
         |FROM mem""".stripMargin,
+
+    // full SemDeDup parity: the same two unrolled Lloyd rounds as the s3
+    // oracle (trained on base, lowest-16-id init), corpus = base + %5
+    // perturbed copies, nearest-cell assignment, within-cell pair sweep at
+    // cosine >= 0.95, keep = no lower-id cell-mate above threshold
+    "d7_semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cp AS (SELECT vec_id + 100000 AS cvid,
+        |         list_transform(v, (x, i) ->
+        |           x + ((vec_id * 31 + (i - 1)) % 7 - 3) * CAST(0.002 AS DOUBLE)) AS v
+        |       FROM base WHERE vec_id % 5 = 0),
+        |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT cvid AS vec_id, v FROM cp),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        |          FROM base WHERE vec_id < 16),
+        |asg1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT b.vec_id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS rn
+        |    FROM base b CROSS JOIN cent0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cell, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT cell, dim, avg(x) AS m FROM (
+        |      SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim
+        |      FROM asg1) GROUP BY cell, dim) GROUP BY cell),
+        |cent1 AS (SELECT c0.cell, coalesce(m1.cv, c0.cv) AS cv
+        |          FROM cent0 c0 LEFT JOIN m1 USING (cell)),
+        |asg2 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT b.vec_id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS rn
+        |    FROM base b CROSS JOIN cent1 c) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cell, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT cell, dim, avg(x) AS m FROM (
+        |      SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim
+        |      FROM asg2) GROUP BY cell, dim) GROUP BY cell),
+        |cent AS (SELECT c1.cell, coalesce(m2.cv, c1.cv) AS cv
+        |         FROM cent1 c1 LEFT JOIN m2 USING (cell)),
+        |ccell AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT c.vec_id, c.v, ct.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM ccell a JOIN ccell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+        |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, (d.vec_id IS NULL) AS keep
+        |FROM ccell c LEFT JOIN drops d ON c.vec_id = d.vec_id""".stripMargin,
 
     "d3_simhash" ->
       """SELECT CAST(doc_id AS BIGINT) AS id_a,

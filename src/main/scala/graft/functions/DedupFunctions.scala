@@ -398,6 +398,42 @@ object DedupFunctions {
         (col("member") === col("cluster_id")).as("keep"))
   }
 
+  /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): cluster embeddings
+    * with a trained k-means codebook, then within each cluster drop every
+    * document that has a lower-id cluster-mate above the cosine threshold —
+    * one representative (the minimum id) survives per ε-ball.
+    *
+    * Returns `(vec_id, cell, keep)` — one row per input vector. `centroids`
+    * come from [[AnnFunctions.trainCodebook]] (deterministic Lloyd rounds,
+    * oracle-replicable); assignment is the same zero-shuffle fused
+    * expression the IVF index uses, so cluster membership is bit-identical
+    * to the s3 path.
+    *
+    * 100 TB shape: the pairwise leg is WITHIN-cluster only — published
+    * SemDeDup accepts the Σ|cluster|² term by scaling k with the corpus so
+    * clusters stay bounded (k ≈ √n keeps expected cluster size √n). The
+    * self-join shuffles the corpus keyed by cell (skew = a hot cluster:
+    * raise k or pre-split hot cells with a salt on the LEFT side only);
+    * the dropped-id set is proportional to the duplicate fraction, so it
+    * broadcasts back onto the corpus — the keep-flag join never shuffles
+    * the input.
+    */
+  def semanticDupFlags(df: DataFrame, idCol: String, embCol: String,
+                       centroids: Array[Array[Double]],
+                       threshold: Double): DataFrame = {
+    val assigned = df.select(col(idCol).as("vec_id"), col(embCol).as("v"),
+      element_at(AnnFunctions.ivfCells(col(embCol), centroids, 1), 1).as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val drops = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        AnnFunctions.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(broadcast(drops.select(col("vec_id"), lit(true).as("dup"))),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+  }
+
   /** Line-level dedup (CCNet/RefinedWeb-style boilerplate removal): drop
     * every non-empty line that occurs at least `minDf` times across the
     * corpus — navigation chrome, cookie banners, copyright footers — and

@@ -45,6 +45,10 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("x11_url_filter", 0, 0),
     // vocab agg + doc agg; vocab broadcast + AQE-broadcast doc left-join
     ("x10_word_rarity", 2, 2),
+    // drop-id distinct agg is the one exchange at spec scale (the cell
+    // self-join's build side fits a broadcast here; at data scale it
+    // becomes a cell-keyed SMJ) + the explicit drop-set broadcast
+    ("d7_semantic_dedup", 1, 2),
     // line-df agg + doc reassembly agg; boilerplate table broadcasts
     ("x12_line_dedup", 2, 1),
     // block-sum agg + n_blocks single-partition window + block-keyed window;

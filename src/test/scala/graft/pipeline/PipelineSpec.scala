@@ -388,6 +388,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("non-negative")), msgs(ex).mkString(" | "))
   }
 
+  test("semanticDupFlags: larger-id near-dup in its cell drops; cross-threshold mates keep") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(1.0, 0.01)),   // cell 0
+      (2L, Seq(1.0, 0.012)),  // cell 0, cosine ~0.99999 with id 1 -> drops
+      (3L, Seq(0.01, 1.0)),   // cell 1
+      (4L, Seq(0.6, 0.8))     // cell 1, cosine(3,4) ~0.806 < 0.95 -> keeps
+    ).toDF("vec_id", "embedding")
+    val got = DedupFunctions.semanticDupFlags(df, "vec_id", "embedding",
+        cents, threshold = 0.95)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(got == Set((1L, 0, true), (2L, 0, false), (3L, 1, true), (4L, 1, true)))
+  }
+
   test("lineDedup: corpus-frequent lines drop, order preserved, all-dropped doc -> ''") {
     val df = Seq(
       (1L, "unique one\nBOILER\nkeep tail"),
