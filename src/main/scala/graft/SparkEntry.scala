@@ -680,6 +680,19 @@ object SparkEntry {
         .toDF().select(col("doc_id"), col("sample_rate"), col("channels"),
           col("n_samples"), col("peak"), col("sum_samples"))),
 
+    // REAL audio resample leg (the audio twin of m4): decode PCM16, keep
+    // every 4th frame, re-encode a complete WAV at the decimated rate, then
+    // decode the EMITTED payload and report its stats — the oracle predicts
+    // them from the planted formula at the strided frame indices, values
+    // that exist only if real samples round-tripped the codec
+    "m6_audio_resample" -> ((s, d) =>
+      Multimodal.resampleAudio(
+        Multimodal.withSyntheticPayload(t(s, d, "documents"), "doc_id",
+          realSamples = true),
+        stride = 4)
+        .toDF().select(col("doc_id"), col("in_frames"), col("out_rate"),
+          col("out_frames"), col("out_peak"), col("out_sum"), col("out_bytes"))),
+
     // ---- streaming ingest (file source → watermark window agg → memory sink)
     "str1_stream_counts" -> ((s, d) => {
       val tmp = streamFixture(s, d)
@@ -2003,6 +2016,27 @@ object SparkEntry {
         |        FROM documents WHERE doc_id % 3 = 1),
         |    UNNEST(range(n * ch)) AS u(k))
         |GROUP BY doc_id, rate, ch, n""".stripMargin,
+
+    // same planted formula sampled at frame indices j*4 (stride
+    // decimation), out_frames = ceil(n/4), decimated rate, and the exact
+    // RIFF container size 44 + data bytes — all integer-replicable
+    "m6_audio_resample" ->
+      """SELECT doc_id,
+        |  CAST(n AS INT) AS in_frames,
+        |  CAST(rate // 4 AS INT) AS out_rate,
+        |  CAST(nout AS INT) AS out_frames,
+        |  CAST(max(abs(s)) AS INT) AS out_peak,
+        |  CAST(sum(s) AS BIGINT) AS out_sum,
+        |  CAST(44 + nout * ch * 2 AS INT) AS out_bytes
+        |FROM (
+        |  SELECT doc_id, rate, ch, n, nout,
+        |    ((doc_id * 31 + ((k // ch) * 4) * 7 + (k % ch) * 13) % 2003) - 1001 AS s
+        |  FROM (SELECT doc_id, 8000 + (doc_id % 5) * 8000 AS rate,
+        |          doc_id % 2 + 1 AS ch, doc_id % 1000 + 1 AS n,
+        |          (doc_id % 1000 + 1 + 3) // 4 AS nout
+        |        FROM documents WHERE doc_id % 3 = 1),
+        |    UNNEST(range(nout * ch)) AS u(k))
+        |GROUP BY doc_id, rate, ch, n, nout""".stripMargin,
 
     "k1_salted_agg" ->
       s"""$trCte

@@ -314,6 +314,78 @@ object Multimodal {
       }
   }
 
+  final case class AudioResampleRow(doc_id: Long, in_frames: Int,
+                                    out_rate: Int, out_frames: Int,
+                                    out_peak: Int, out_sum: Long,
+                                    out_bytes: Int)
+
+  /** Stride-decimation resample over REAL decoded samples with WAV
+    * re-encode — the audio counterpart of [[resizeImagesWithCorner]]: PCM16
+    * decode through the JDK codec, keep every `stride`-th frame (all its
+    * channels), re-encode a complete RIFF/WAVE payload at the decimated
+    * rate, then decode the EMITTED payload again in the same partition pass
+    * and report ITS stats — values that exist only if real samples survived
+    * the encode→decode round trip. ONE map stage, zero exchanges; payloads
+    * never ship twice. (Decimation without a low-pass filter aliases — fine
+    * for feature pipelines, documented; a filter is a per-frame kernel in
+    * the same loop.) Undecodable payloads drop out and count on
+    * `fallbacks`.
+    */
+  def resampleAudio(media: Dataset[MediaRow], stride: Int,
+                    fallbacks: Option[org.apache.spark.util.LongAccumulator] = None
+                   ): Dataset[AudioResampleRow] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "audio").as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          (for {
+            in <- decodeWavRaw(m.payload)
+            (fmt, data) = in
+            ch = fmt.channels
+            inFrames = data.length / (2 * ch)
+            outFrames = (inFrames + stride - 1) / stride
+            outRate = math.max(fmt.sampleRate / stride, 1)
+            encoded = {
+              val header = wavBytes(outRate, ch, outFrames)
+              val out = new Array[Byte](header.length + outFrames * ch * 2)
+              System.arraycopy(header, 0, out, 0, header.length)
+              var j = 0
+              while (j < outFrames) {
+                val src = j * stride * ch * 2
+                System.arraycopy(data, src, out, header.length + j * ch * 2, ch * 2)
+                j += 1
+              }
+              out
+            }
+            back <- decodeWavSamples(encoded)
+          } yield AudioResampleRow(m.doc_id, inFrames, back.sampleRate,
+            back.nFrames, back.peak, back.sum, encoded.length)) match {
+            case Some(r) => Some(r)
+            case None => fallbacks.foreach(_.add(1)); None
+          }
+        }
+      }
+  }
+
+  private final case class WavFormat(sampleRate: Int, channels: Int)
+
+  /** PCM16 decode returning the raw interleaved little-endian sample bytes
+    * (the shared leg of [[decodeWavSamples]] and [[resampleAudio]]).
+    */
+  private def decodeWavRaw(b: Array[Byte]): Option[(WavFormat, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else Some((WavFormat(fmt.getSampleRate.toInt, fmt.getChannels),
+          in.readAllBytes()))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Partition-batched decode: codec state initializes once per partition
     * (the same amortization shape `mapInPandas` gives Python codecs); the
     * media_type column is ignored — format comes from the bytes.

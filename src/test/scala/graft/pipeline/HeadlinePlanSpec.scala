@@ -56,6 +56,7 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("x13_seq_pack", 3, 1),
     ("m4_resize_reencode", 0, 0),
     ("m5_audio_decode", 0, 0),
+    ("m6_audio_resample", 0, 0),
     ("q2_join_broadcast", 1, 1),
     ("q4_sort_limit", 0, 0),
     ("d2_minhash_lsh", 2, 3),

@@ -654,6 +654,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleAudio: stride 1 is identity; stride 2 matches the planted formula") {
+    // doc 7 is in the audio slice (7 % 3 == 1): ch = 2, n = 8 frames, rate 24000
+    val df = Seq((7L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.withSyntheticPayload(df, "doc_id", realSamples = true)
+    val orig = Multimodal.audioStats(media).collect().head
+    val id1 = Multimodal.resampleAudio(media, stride = 1).collect().head
+    assert(id1.out_frames == orig.n_samples && id1.out_rate == orig.sample_rate)
+    assert(id1.out_peak == orig.peak && id1.out_sum == orig.sum_samples)
+    val st2 = Multimodal.resampleAudio(media, stride = 2).collect().head
+    val samples = for (j <- 0 until 4; c <- 0 until 2)
+      yield ((7L * 31 + (j * 2) * 7 + c * 13) % 2003 - 1001).toInt
+    assert(st2.in_frames == 8 && st2.out_frames == 4 && st2.out_rate == 12000)
+    assert(st2.out_sum == samples.map(_.toLong).sum, samples.toString)
+    assert(st2.out_peak == samples.map(math.abs).max)
+    assert(st2.out_bytes == 44 + 4 * 2 * 2)
+  }
+
   test("resizeImagesWithCorner: identity rows carry the emitted corner pixel") {
     val media = Seq(
       // identity: 20x10 fits maxSide 32 -> corner_b = (9*31) & 0xff
