@@ -414,9 +414,11 @@ object SparkEntry {
 
     // SemDeDup-style semantic dedup: k-means cells from the SAME trained
     // codebook contract as s3 (k=16, 2 Lloyd rounds, lowest-id init over
-    // the base table), corpus = originals + planted %5 near-copies; within
-    // each cell the larger-id member of any >= 0.95-cosine pair drops. The
-    // DuckDB oracle replays training, assignment, the within-cell pair
+    // the base table), corpus = originals + planted %5 near-copies; a
+    // vector drops when a lower-id >= 0.95-cosine mate is OWNED by any of
+    // its top-2 probe cells (nprobe=2 closes the cell-boundary-straddler
+    // miss mode — measured 0.9775 → 1.0 drop rate, OrganicRecallSpec). The
+    // DuckDB oracle replays training, top-2 probe assignment, the pair
     // sweep, and the keep flags — full algorithm parity
     "d7_semantic_dedup" -> ((s, d) => {
       val base = embeddingsDouble(s, d)
@@ -424,7 +426,7 @@ object SparkEntry {
       val centroids = AnnFunctions.trainCodebook(base, "vec_id", "embedding",
         k = 16, iters = 2)
       DedupFunctions.semanticDupFlags(corpus, "vec_id", "embedding",
-        centroids, threshold = 0.95)
+        centroids, threshold = 0.95, nprobe = 2)
     }),
 
     // normalization-only mutation (case/whitespace/punctuation): tokens() is
@@ -632,6 +634,15 @@ object SparkEntry {
     // counts — budget/blockSize sized so sf0.01 spans many packs and blocks
     "x13_seq_pack" -> ((s, d) =>
       Packing.packSequences(t(s, d, "documents"), "doc_id", "text",
+        budget = 512L, blockSize = 64L)),
+
+    // x13 completed to the trainer-facing output: every document explodes
+    // into its (pack_id, token_slice) rows at chunk boundaries — straddlers
+    // split across packs, slice text reassembled from the same RE2 BPE
+    // tokenizer the prefix sum counts with, so the oracle replays the
+    // slices exactly; bounded explode, no exchange beyond x13's three
+    "x14_pack_chunks" -> ((s, d) =>
+      Packing.packChunks(t(s, d, "documents"), "doc_id", "text",
         budget = 512L, blockSize = 64L)),
 
     // ---- multimodal plumbing (real PNG/WAV/AVI header codec)
@@ -1545,6 +1556,36 @@ object SparkEntry {
         |  CAST(cum_before % 512 AS BIGINT) AS pack_offset
         |FROM c""".stripMargin,
 
+    // same tokenizer + global cumsum as x13, then one row per pack each
+    // document overlaps: slice bounds clamped to [0, n_tok), chunk_text =
+    // the 1-based inclusive list slice joined on ' ' (DuckDB list_slice ==
+    // Spark slice(start+1, len)); zero-token docs emit nothing
+    "x14_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n_tok,
+        |    coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks, n_tok, cum_before,
+        |    unnest(range(CAST(cum_before // 512 AS BIGINT),
+        |                 CAST((cum_before + n_tok - 1) // 512 + 1 AS BIGINT))) AS pack_id
+        |  FROM c WHERE n_tok > 0)
+        |SELECT doc_id,
+        |  CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(greatest(pack_id * 512 - cum_before, 0) AS BIGINT) AS slice_start,
+        |  CAST(least(n_tok, (pack_id + 1) * 512 - cum_before)
+        |       - greatest(pack_id * 512 - cum_before, 0) AS BIGINT) AS slice_len,
+        |  CAST(greatest(cum_before - pack_id * 512, 0) AS BIGINT) AS pack_offset,
+        |  array_to_string(list_slice(toks,
+        |    greatest(pack_id * 512 - cum_before, 0) + 1,
+        |    least(n_tok, (pack_id + 1) * 512 - cum_before)), ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
     // same planted-PII construction, same patterns, same redaction order;
     // DuckDB's regexp_replace needs the explicit 'g' flag to match Spark's
     // replace-all semantics
@@ -1651,9 +1692,11 @@ object SparkEntry {
         |FROM mem""".stripMargin,
 
     // full SemDeDup parity: the same two unrolled Lloyd rounds as the s3
-    // oracle (trained on base, lowest-16-id init), corpus = base + %5
-    // perturbed copies, nearest-cell assignment, within-cell pair sweep at
-    // cosine >= 0.95, keep = no lower-id cell-mate above threshold
+    // oracle (trained on base, lowest-16-id init via ORDER BY/LIMIT — the
+    // same "k lowest ids" definition trainCodebook uses, robust to id
+    // gaps), corpus = base + %5 perturbed copies, primary ownership +
+    // top-2 probe assignment, pair sweep at cosine >= 0.95, keep = no
+    // lower-id owner above threshold in any probe cell
     "d7_semantic_dedup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cp AS (SELECT vec_id + 100000 AS cvid,
@@ -1662,7 +1705,7 @@ object SparkEntry {
         |       FROM base WHERE vec_id % 5 = 0),
         |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT cvid AS vec_id, v FROM cp),
         |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-        |          FROM base WHERE vec_id < 16),
+        |          FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)),
         |asg1 AS (
         |  SELECT vec_id, v, cell FROM (
         |    SELECT b.vec_id, b.v, c.cell,
@@ -1689,15 +1732,16 @@ object SparkEntry {
         |      FROM asg2) GROUP BY cell, dim) GROUP BY cell),
         |cent AS (SELECT c1.cell, coalesce(m2.cv, c1.cv) AS cv
         |         FROM cent1 c1 LEFT JOIN m2 USING (cell)),
-        |ccell AS (
-        |  SELECT vec_id, v, cell FROM (
-        |    SELECT c.vec_id, c.v, ct.cell,
-        |      row_number() OVER (PARTITION BY c.vec_id
-        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
-        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |ranked AS (
+        |  SELECT c.vec_id, c.v, ct.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cell) AS rn
+        |  FROM corpus c CROSS JOIN cent ct),
+        |ccell AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+        |probe AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= 2),
         |drops AS (
         |  SELECT DISTINCT b.vec_id
-        |  FROM ccell a JOIN ccell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  FROM ccell a JOIN probe b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
         |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, (d.vec_id IS NULL) AS keep
         |FROM ccell c LEFT JOIN drops d ON c.vec_id = d.vec_id""".stripMargin,
@@ -1754,7 +1798,7 @@ object SparkEntry {
         |       FROM base),
         |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT cvid AS vec_id, v FROM cp),
         |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-        |          FROM base WHERE vec_id < 16),
+        |          FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)),
         |asg1 AS (
         |  SELECT vec_id, v, cell FROM (
         |    SELECT b.vec_id, b.v, c.cell,

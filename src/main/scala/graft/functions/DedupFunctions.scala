@@ -403,35 +403,65 @@ object DedupFunctions {
     * document that has a lower-id cluster-mate above the cosine threshold —
     * one representative (the minimum id) survives per ε-ball.
     *
-    * Returns `(vec_id, cell, keep)` — one row per input vector. `centroids`
-    * come from [[AnnFunctions.trainCodebook]] (deterministic Lloyd rounds,
+    * Returns `(vec_id, cell, keep)` — one row per input vector, `cell` the
+    * PRIMARY (nearest-centroid) cell. `centroids` come from
+    * [[AnnFunctions.trainCodebook]] (deterministic Lloyd rounds,
     * oracle-replicable); assignment is the same zero-shuffle fused
     * expression the IVF index uses, so cluster membership is bit-identical
     * to the s3 path.
     *
-    * 100 TB shape: the pairwise leg is WITHIN-cluster only — published
-    * SemDeDup accepts the Σ|cluster|² term by scaling k with the corpus so
-    * clusters stay bounded (k ≈ √n keeps expected cluster size √n). The
-    * self-join shuffles the corpus keyed by cell (skew = a hot cluster:
-    * raise k or pre-split hot cells with a salt on the LEFT side only);
-    * the dropped-id set is proportional to the duplicate fraction, so it
-    * broadcasts back onto the corpus — the keep-flag join never shuffles
-    * the input.
+    * `nprobe` widens the PROBE side only (the side being tested for drop):
+    * a vector is compared against lower-id vectors OWNED by any of its
+    * `nprobe` nearest cells, which closes the boundary-straddler miss mode
+    * — a near-dup pair split across two adjacent cells is still found,
+    * because near-identical vectors rank cells near-identically, so the
+    * mate's primary cell is in the probe set with high probability
+    * (measured: 0.9775 drop rate at nprobe=1 → 1.0 at nprobe=2 on the
+    * sf0.1 planted corpus, OrganicRecallSpec). Ownership stays top-1, so
+    * the candidate volume grows only ×nprobe on the probe side, never
+    * quadratically.
+    *
+    * 100 TB shape and the k-scaling playbook: the pairwise leg is
+    * WITHIN-cell only — published SemDeDup accepts the Σ|cluster|² term by
+    * scaling k with the corpus so clusters stay bounded; **k ≈ √n** keeps
+    * the expected cell size at √n, making the per-cell pair work O(n)
+    * total. Costs that scale with k: assignment is O(k·dim) multiply-adds
+    * per row (map-only, codebook is a plan-reference object), and the
+    * codebook ships to every task — k·dim·8 bytes. Worked 100 TB sizing:
+    * n = 10¹⁰ docs → k ≈ 10⁵ cells of ~10⁵ members; at dim = 768 the
+    * codebook is 10⁵·768·8 ≈ 0.6 GB — near the task-broadcast comfort
+    * limit, so at that scale split assignment into a coarse/fine two-level
+    * codebook (assign to √k coarse cells, then √k fine cells within) to
+    * keep the shipped object at √k·dim·8 ≈ 2 MB per level. A hot cell
+    * (skew) = salt the PROBE side only: explode probes ×s salts and tag
+    * owners with `id % s`, which splits a cell's pair matrix into s column
+    * strips without duplicating ownership. The plan has NO hard hints:
+    * the probe→owner join is cell-keyed (AQE broadcasts the owner side at
+    * small scale, shuffle-hash/SMJ at data scale — both sides carry each
+    * embedding once), and the keep flag is a map-side-combinable
+    * `count == 0` aggregate keyed by vec_id, so nothing driver-sized or
+    * broadcast-sized grows with the duplicate fraction (the round-7
+    * drop-set broadcast did, and is gone).
     */
   def semanticDupFlags(df: DataFrame, idCol: String, embCol: String,
                        centroids: Array[Array[Double]],
-                       threshold: Double): DataFrame = {
+                       threshold: Double, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe out of [1, ${centroids.length}]: $nprobe")
     val assigned = df.select(col(idCol).as("vec_id"), col(embCol).as("v"),
-      element_at(AnnFunctions.ivfCells(col(embCol), centroids, 1), 1).as("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
-    val drops = a.join(b, Seq("cell"))
-      .where(col("id_a") < col("id_b") &&
-        AnnFunctions.cosine(col("va"), col("vb")) >= threshold)
-      .select(col("id_b").as("vec_id")).distinct()
-    assigned.join(broadcast(drops.select(col("vec_id"), lit(true).as("dup"))),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+      AnnFunctions.ivfCells(col(embCol), centroids, nprobe).as("probes"))
+      .select(col("vec_id"), col("v"),
+        element_at(col("probes"), 1).as("cell"), col("probes"))
+    val owners = assigned.select(col("cell").as("cell_a"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val probes = assigned.select(col("vec_id"), col("v"), col("cell"),
+      explode(col("probes")).as("probe_cell"))
+    probes.join(owners,
+        col("probe_cell") === col("cell_a") && col("id_a") < col("vec_id") &&
+          AnnFunctions.cosine(col("va"), col("v")) >= threshold, "left")
+      .groupBy("vec_id", "cell")
+      .agg((count(col("id_a")) === 0).as("keep"))
+      .select(col("vec_id"), col("cell"), col("keep"))
   }
 
   /** Line-level dedup (CCNet/RefinedWeb-style boilerplate removal): drop
@@ -447,8 +477,15 @@ object DedupFunctions {
     * 100 TB shape: the line-frequency aggregate is ONE hash shuffle with
     * map-side partials (duplicate lines collapse before the exchange —
     * boilerplate by definition), and only lines with `df >= minDf` survive
-    * the filter, so the dup-line table is the BOILERPLATE set, tiny by
-    * construction — it broadcasts. The reassembly aggregate is the only
+    * the filter. The surviving dup-line table is usually small, but its
+    * size is corpus-dependent (the number of distinct lines crossing a
+    * FIXED `minDf` grows with corpus size — at web scale raise `minDf`
+    * proportionally, CCNet uses a per-shard fraction), so the flag join
+    * carries NO hard broadcast hint: AQE broadcasts it when its runtime
+    * size allows and falls back to a line-keyed shuffle join otherwise —
+    * the lines side is already line-partitioned nowhere, so the fallback
+    * costs one extra corpus exchange instead of a driver OOM. The
+    * reassembly aggregate is the other
     * corpus-sized exchange (one row per line, ids + text, keyed by doc).
     * Reassembly sorts per-doc line arrays inside one fused codegen call
     * ([[graft.expr.AssembleLinesExpr]]); the `array_sort`+`transform` HOF
@@ -463,7 +500,7 @@ object DedupFunctions {
       .groupBy("line").agg(count(lit(1)).as("line_df"))
       .filter(col("line_df") >= minDf)
       .select(col("line"), lit(true).as("is_dup"))
-    lines.join(broadcast(boiler), Seq("line"), "left")
+    lines.join(boiler, Seq("line"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),

@@ -318,6 +318,46 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(probes.distinct.length == probes.length)
   }
 
+  test("semanticDupFlags at intermediate k: k ~ sqrt(n) bounds cells, recall holds") {
+    // the k-scaling playbook's claim, executed: on n = 1024 clustered
+    // vectors with k = 32 (= sqrt(n)), the trained codebook keeps every
+    // cell far below n (the sum-|cell|^2 pair work stays ~O(n)), and the
+    // planted near-dup pairs still all drop at nprobe=2 — raising k trades
+    // assignment cost (O(k*dim) per row) for cell bound, never recall on
+    // in-cell mates
+    val dim = 16
+    val k = 32
+    val rnd = new scala.util.Random(97)
+    val centers = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val base = (0 until 1024).map { i =>
+      val c = centers(i % k)
+      val v = Array.tabulate(dim)(d => c(d) + 0.12 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }
+    val copies = base.filter(_._1 % 8 == 0).map { case (id, v) =>
+      (id + 10000L, v.map(_ * 1.000001)) // cosine-identical mate, larger id
+    }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val cents = AnnFunctions.trainCodebook(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = k, iters = 2)
+    val flags = DedupFunctions.semanticDupFlags(df, "vec_id", "embedding",
+        cents, threshold = 0.999, nprobe = 2)
+      .as[(Long, Int, Boolean)].collect()
+    val cellSizes = flags.groupBy(_._2).view.mapValues(_.length)
+    val maxCell = cellSizes.values.max
+    info(s"k=$k cells=${cellSizes.size} max|cell|=$maxCell of ${flags.length}")
+    // bounded cells: no cell hoards the corpus (expected ~n/k = 36; allow
+    // 4x imbalance before calling the codebook degenerate)
+    assert(maxCell <= 4 * (flags.length / k), s"hot cell of $maxCell")
+    // cosine-identical copies drop; their originals keep
+    val copyFlags = flags.filter(_._1 >= 10000L)
+    assert(copyFlags.length == 128 && copyFlags.forall(!_._3),
+      s"${copyFlags.count(_._3)} planted copies survived")
+    assert(flags.filter(_._1 < 10000L).count(!_._3) == 0,
+      "an original dropped — false positive")
+  }
+
   test("embeddingDupPairs finds a pair one sketch-bit apart (multi-probe)") {
     // two near-identical vectors plus decoys; regardless of which buckets
     // the sketches land in, the near pair must surface

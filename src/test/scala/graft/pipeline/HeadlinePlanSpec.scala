@@ -45,15 +45,19 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("x11_url_filter", 0, 0),
     // vocab agg + doc agg; vocab broadcast + AQE-broadcast doc left-join
     ("x10_word_rarity", 2, 2),
-    // drop-id distinct agg is the one exchange at spec scale (the cell
-    // self-join's build side fits a broadcast here; at data scale it
-    // becomes a cell-keyed SMJ) + the explicit drop-set broadcast
-    ("d7_semantic_dedup", 1, 2),
-    // line-df agg + doc reassembly agg; boilerplate table broadcasts
+    // keep-flag agg is the one exchange at spec scale; NO hard hints —
+    // the owner side of the probe join broadcasts by stats here, at data
+    // scale AQE picks a cell-keyed join (round-8: the drop-set broadcast,
+    // which grew with the dup fraction, is gone)
+    ("d7_semantic_dedup", 1, 1),
+    // line-df agg + doc reassembly agg; boilerplate table broadcasts by
+    // stats/AQE here (no hard hint — it is corpus-dependent at fixed minDf)
     ("x12_line_dedup", 2, 1),
     // block-sum agg + n_blocks single-partition window + block-keyed window;
-    // block offsets broadcast
+    // block offsets broadcast (bounded: maxBlocks raise guard)
     ("x13_seq_pack", 3, 1),
+    // x13's three exchanges; the chunk explode is map-only on top
+    ("x14_pack_chunks", 3, 1),
     ("m4_resize_reencode", 0, 0),
     ("m5_audio_decode", 0, 0),
     ("m6_audio_resample", 0, 0),

@@ -142,13 +142,16 @@ class OrganicRecallSpec extends AnyFunSuite {
     val orgDrops = originals.count(!_._3)
     assert(orgDrops == 0, s"$orgDrops originals dropped — false-positive dups")
     // a planted copy (cosine >= 0.999 to its original) survives ONLY by
-    // straddling a cell boundary — the within-cell blocking's one miss mode
+    // straddling a cell boundary — the within-cell blocking's one miss
+    // mode, mitigated by the driver's nprobe=2 probe-side widening
     val dropRate = copies.count(!_._3).toDouble / copies.length
     info(f"d7 planted-copy drop rate (within-cell recall): $dropRate%.4f")
-    // committed floor (measured 2026-08-18: 0.9775 — 391/400 copies drop,
-    // 9 straddle a cell boundary on these near-uniform embeddings; the
-    // standard SemDeDup mitigation for the residual is a second pass with a
-    // reseeded codebook or nprobe>1 assignment on the probe side)
-    assert(dropRate >= 0.95, f"d7 drop rate $dropRate%.4f below committed floor")
+    // committed floor (measured 2026-08-18: nprobe=1 gave 0.9775 — 9/400
+    // copies straddled a cell boundary on these near-uniform embeddings;
+    // the round-8 nprobe=2 probe-side widening recovers the mate whenever
+    // its cell is in the copy's top-2, measured 0.9950 — the residual 2
+    // pairs tie-break into disjoint top-2 sets, the territory of a second
+    // reseeded pass)
+    assert(dropRate >= 0.99, f"d7 drop rate $dropRate%.4f below committed floor")
   }
 }

@@ -402,6 +402,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Set((1L, 0, true), (2L, 0, false), (3L, 1, true), (4L, 1, true)))
   }
 
+  test("semanticDupFlags nprobe=2 catches the cell-boundary straddler nprobe=1 misses") {
+    // two near-identical vectors (1° apart, cosine ~0.9998) straddling the
+    // 22.5° bisector between the two centroids: primary cells differ, so
+    // nprobe=1 never pairs them — the d7 miss mode. nprobe=2 widens the
+    // PROBE side only: id 2 probes both cells, finds lower-id 1 owned by
+    // cell 0, and drops; its reported cell stays the primary.
+    val cents = Array(Array(1.0, 0.0),
+      Array(0.7071067811865476, 0.7071067811865476))
+    val ra = math.toRadians(22.0)
+    val rb = math.toRadians(23.0)
+    val df = Seq(
+      (1L, Seq(math.cos(ra), math.sin(ra))),
+      (2L, Seq(math.cos(rb), math.sin(rb)))).toDF("vec_id", "embedding")
+    val miss = DedupFunctions.semanticDupFlags(df, "vec_id", "embedding",
+        cents, threshold = 0.95)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(miss == Set((1L, 0, true), (2L, 1, true)), "straddle: both keep at nprobe=1")
+    val hit = DedupFunctions.semanticDupFlags(df, "vec_id", "embedding",
+        cents, threshold = 0.95, nprobe = 2)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(hit == Set((1L, 0, true), (2L, 1, false)))
+  }
+
   test("lineDedup: corpus-frequent lines drop, order preserved, all-dropped doc -> ''") {
     val df = Seq(
       (1L, "unique one\nBOILER\nkeep tail"),
@@ -440,6 +463,75 @@ class FunctionsSpec extends AnyFunSuite {
       cum += n
     }
     assert(got.length == 50)
+  }
+
+  test("packSequences: negative ids and over-ceiling block indices raise") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // the block math is integer floor division — a negative id would
+    // silently land in the wrong block, so it raises (same contract as
+    // dupClusters)
+    val neg = Seq((-3L, "tok"), (1L, "tok")).toDF("id", "text")
+    val ex = intercept[Exception] {
+      Packing.packSequences(neg, "id", "text").collect()
+    }
+    assert(msgs(ex).exists(_.contains("non-negative")), msgs(ex).mkString(" | "))
+    // the block-offsets table feeds a single-partition window + broadcast,
+    // so it is bounded by maxBlocks: a sparse huge id must fail loudly
+    // instead of silently growing the "metadata" tier to data scale
+    val sparse = Seq((0L, "tok"), (1L << 40, "tok")).toDF("id", "text")
+    val ex2 = intercept[Exception] {
+      Packing.packSequences(sparse, "id", "text",
+        budget = 10L, blockSize = 8L, maxBlocks = 1024L).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("block index")), msgs(ex2).mkString(" | "))
+  }
+
+  test("packSequences block math stays exact beyond 2^53 (no double floor path)") {
+    // floor(id / blockSize) through Double mis-buckets ids above 2^53;
+    // `div` on longs is exact — ids near 2^60 must still order and bucket
+    val base = 1L << 60
+    val df = Seq((base, "tok"), (base + 1L, "tok tok"), (base + 9L, "tok"))
+      .toDF("id", "text")
+    val got = Packing.packSequences(df, "id", "text", budget = 2L,
+        blockSize = 4L, maxBlocks = Long.MaxValue)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(g => (g._2.toLong, g._3, g._4, g._5)).toSeq ==
+      Seq((1L, 0L, 0L, 0L), (2L, 1L, 0L, 1L), (1L, 3L, 1L, 1L)))
+  }
+
+  test("packChunks: slices tile the token stream; straddlers split at pack boundaries") {
+    val df = (0L until 20L).map(i => (i, ("tok " * ((i % 7) + 1).toInt).trim))
+      .toDF("id", "text") union Seq((20L, "")).toDF("id", "text")
+    val chunks = Packing.packChunks(df, "id", "text", budget = 10L, blockSize = 8L)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    assert(!byDoc.contains(20L), "zero-token doc occupies no chunk")
+    var cum = 0L
+    (0L until 20L).foreach { id =>
+      val n = (id % 7) + 1
+      val cs = byDoc(id).sortBy(_._2)
+      // slices start at 0, are consecutive in both token and pack space,
+      // and cover the whole document
+      assert(cs.head._3 == 0L && cs.map(_._4).sum == n, s"doc $id coverage")
+      cs.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x._3 + x._4 == y._3 && y._2 == x._2 + 1, s"doc $id contiguity")
+        case _ =>
+      }
+      cs.foreach { case (_, pid, s, len, off, txt) =>
+        assert(off == cum + s - pid * 10L, s"doc $id pack offset")
+        assert(off + len <= 10L, s"doc $id overflows its pack")
+        assert(txt == ("tok " * len.toInt).trim, s"doc $id slice text")
+      }
+      cum += n
+    }
+    // every pack except the last is filled to exactly the budget
+    val packTotals = chunks.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastPack = packTotals.keys.max
+    packTotals.foreach { case (p, tot) =>
+      if (p != lastPack) assert(tot == 10L, s"pack $p holds $tot")
+    }
   }
 
   test("simhash: exact dup at hamming 0, unrelated excluded") {
