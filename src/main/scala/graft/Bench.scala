@@ -45,11 +45,11 @@ object Bench {
     "d7_semantic_dedup",
     "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf", "s7_json_minimal", "x5_token_bpe",
     "m2_frame_sample", "m3_image_resize", "m4_resize_reencode",
-    "m5_audio_decode", "m6_audio_resample",
+    "m5_audio_decode", "m6_audio_resample", "m7_audio_lowpass",
     "x1_lang_id", "x2_text_stats", "x3_quality_score", "x4_fingerprint",
     "x6_stratified_sample", "x7_decontaminate", "x8_pii_redact",
     "x9_repetition", "x10_word_rarity", "x11_url_filter",
-    "x12_line_dedup", "x13_seq_pack",
+    "x12_line_dedup", "x13_seq_pack", "x14_pack_chunks",
     "w1_turn_order", "m1_multimodal_decode",
     // CSVW mapping/validation/source family (cheap, config-scale fixtures)
     "a1_pk_duplicates", "a2_fk_dup_targets", "a3_comment_rows",

@@ -22,6 +22,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Named stage-metric accumulators created by driver queries in this
+    * JVM (e.g. the m6/m7 audio-decode fallback counts), keyed by metric
+    * name. [[Verify]] dumps them to `stage_metrics.json` after the run —
+    * the same lineage/metrics surface [[materialize.GraphWriter]]'s stage
+    * manifest gives the g1 pipeline — so a 100 TB run can tell "all real
+    * samples decoded" from "everything fell back" without re-reading data.
+    */
+  val stageMetrics = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.LongAccumulator]
+
+  private def metricAcc(s: SparkSession, name: String) = {
+    val acc = s.sparkContext.longAccumulator(name)
+    stageMetrics.put(name, acc)
+    acc
+  }
+
   /** The FIXTURES.md §2.2 "full mapping" over the transcript shape. */
   private val transcriptMappingJson = """{
     "url": "http://example.org/transcripts",
@@ -700,7 +716,20 @@ object SparkEntry {
       Multimodal.resampleAudio(
         Multimodal.withSyntheticPayload(t(s, d, "documents"), "doc_id",
           realSamples = true),
-        stride = 4)
+        stride = 4, fallbacks = Some(metricAcc(s, "m6_audio_fallbacks")))
+        .toDF().select(col("doc_id"), col("in_frames"), col("out_rate"),
+          col("out_frames"), col("out_peak"), col("out_sum"), col("out_bytes"))),
+
+    // the anti-aliased variant of m6: integer boxcar (moving average over
+    // each stride-4 window, truncated toward zero) applied before
+    // decimation in the same single map stage; the oracle recomputes every
+    // filtered sample from the planted formula — integer-exact end to end
+    "m7_audio_lowpass" -> ((s, d) =>
+      Multimodal.resampleAudio(
+        Multimodal.withSyntheticPayload(t(s, d, "documents"), "doc_id",
+          realSamples = true),
+        stride = 4, fallbacks = Some(metricAcc(s, "m7_audio_fallbacks")),
+        lowpass = true)
         .toDF().select(col("doc_id"), col("in_frames"), col("out_rate"),
           col("out_frames"), col("out_peak"), col("out_sum"), col("out_bytes"))),
 
@@ -2081,6 +2110,33 @@ object SparkEntry {
         |        FROM documents WHERE doc_id % 3 = 1),
         |    UNNEST(range(nout * ch)) AS u(k))
         |GROUP BY doc_id, rate, ch, n, nout""".stripMargin,
+
+    // the boxcar-filtered variant: every INPUT sample from the planted
+    // formula, grouped into (output frame j = i // 4, channel) windows,
+    // filtered value = trunc(mean) — trunc (toward zero), NOT floor,
+    // matching Java integer division on possibly-negative sums; doc-level
+    // stats then aggregate over the filtered samples
+    "m7_audio_lowpass" ->
+      """WITH p AS (SELECT doc_id, 8000 + (doc_id % 5) * 8000 AS rate,
+        |             doc_id % 2 + 1 AS ch, doc_id % 1000 + 1 AS n,
+        |             (doc_id % 1000 + 1 + 3) // 4 AS nout
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT doc_id, rate, ch, n, nout, (k // ch) // 4 AS j, k % ch AS c,
+        |    ((doc_id * 31 + (k // ch) * 7 + (k % ch) * 13) % 2003) - 1001 AS s
+        |  FROM p, UNNEST(range(n * ch)) AS u(k)),
+        |w AS (
+        |  SELECT doc_id, rate, ch, n, nout, j, c,
+        |    CAST(trunc(CAST(sum(s) AS DOUBLE) / count(*)) AS INT) AS f
+        |  FROM s GROUP BY doc_id, rate, ch, n, nout, j, c)
+        |SELECT doc_id,
+        |  CAST(n AS INT) AS in_frames,
+        |  CAST(rate // 4 AS INT) AS out_rate,
+        |  CAST(nout AS INT) AS out_frames,
+        |  CAST(max(abs(f)) AS INT) AS out_peak,
+        |  CAST(sum(f) AS BIGINT) AS out_sum,
+        |  CAST(44 + nout * ch * 2 AS INT) AS out_bytes
+        |FROM w GROUP BY doc_id, rate, ch, n, nout""".stripMargin,
 
     "k1_salted_agg" ->
       s"""$trCte

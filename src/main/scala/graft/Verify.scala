@@ -49,6 +49,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stage-metric accumulators registered by the queries that ran (m6/m7
+    // decode-fallback counts): the run manifest a 100 TB job would check
+    // to distinguish "all real samples" from "silent mass fallback"
+    import scala.jdk.CollectionConverters._
+    val metrics = SparkEntry.stageMetrics.asScala.toSeq.sortBy(_._1)
+      .map { case (k, acc) => s"${q(k)}: ${acc.value}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/stage_metrics.json"), metrics)
     spark.stop()
   }
 }

@@ -326,13 +326,21 @@ object Multimodal {
     * rate, then decode the EMITTED payload again in the same partition pass
     * and report ITS stats — values that exist only if real samples survived
     * the encode→decode round trip. ONE map stage, zero exchanges; payloads
-    * never ship twice. (Decimation without a low-pass filter aliases — fine
-    * for feature pipelines, documented; a filter is a per-frame kernel in
-    * the same loop.) Undecodable payloads drop out and count on
+    * never ship twice. Undecodable payloads drop out and count on
     * `fallbacks`.
+    *
+    * `lowpass = false` is bare decimation (aliases — fine for feature
+    * pipelines). `lowpass = true` applies an integer moving-average
+    * (boxcar) kernel over each stride window before decimation — emitted
+    * frame j, channel c = the truncated-toward-zero integer mean of input
+    * frames [j·stride, min((j+1)·stride, n)) on that channel, the classic
+    * anti-aliasing box filter kept integer-exact so an external oracle
+    * replays it from the planted formula. Same single map stage: the
+    * kernel is a per-frame loop over at most `stride` samples.
     */
   def resampleAudio(media: Dataset[MediaRow], stride: Int,
-                    fallbacks: Option[org.apache.spark.util.LongAccumulator] = None
+                    fallbacks: Option[org.apache.spark.util.LongAccumulator] = None,
+                    lowpass: Boolean = false
                    ): Dataset[AudioResampleRow] = {
     require(stride >= 1, s"stride must be >= 1: $stride")
     import media.sparkSession.implicits._
@@ -350,10 +358,29 @@ object Multimodal {
               val header = wavBytes(outRate, ch, outFrames)
               val out = new Array[Byte](header.length + outFrames * ch * 2)
               System.arraycopy(header, 0, out, 0, header.length)
+              def sampleAt(k: Int): Int =
+                ((data(2 * k) & 0xff) | (data(2 * k + 1) << 8)).toShort.toInt
               var j = 0
               while (j < outFrames) {
-                val src = j * stride * ch * 2
-                System.arraycopy(data, src, out, header.length + j * ch * 2, ch * 2)
+                val w0 = j * stride
+                val wn = math.min(w0 + stride, inFrames) - w0
+                var c = 0
+                while (c < ch) {
+                  val s =
+                    if (!lowpass) sampleAt(w0 * ch + c)
+                    else {
+                      // integer boxcar: Long sum / window size truncates
+                      // toward zero (Java semantics; oracle replays trunc)
+                      var sum = 0L
+                      var i = 0
+                      while (i < wn) { sum += sampleAt((w0 + i) * ch + c); i += 1 }
+                      (sum / wn).toInt
+                    }
+                  val off = header.length + (j * ch + c) * 2
+                  out(off) = (s & 0xff).toByte
+                  out(off + 1) = ((s >> 8) & 0xff).toByte
+                  c += 1
+                }
                 j += 1
               }
               out

@@ -34,6 +34,7 @@ class CodegenOnlySpec extends AnyFunSuite {
     "x10_word_rarity", "x11_url_filter", "x12_line_dedup", "x13_seq_pack",
     "x14_pack_chunks",
     "m1_multimodal_decode", "m2_frame_sample", "m6_audio_resample",
+    "m7_audio_lowpass",
     "q1_agg", "q3_window", "j3_entity_link", "j4_connected_components")
 
   test("representative queries run with codegen fallback forbidden") {

@@ -61,6 +61,7 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("m4_resize_reencode", 0, 0),
     ("m5_audio_decode", 0, 0),
     ("m6_audio_resample", 0, 0),
+    ("m7_audio_lowpass", 0, 0),
     ("q2_join_broadcast", 1, 1),
     ("q4_sort_limit", 0, 0),
     ("d2_minhash_lsh", 2, 3),

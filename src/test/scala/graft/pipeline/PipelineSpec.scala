@@ -763,6 +763,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(st2.out_bytes == 44 + 4 * 2 * 2)
   }
 
+  test("resampleAudio lowpass: boxcar means match the formula, incl. a short tail window") {
+    // doc 13 (13 % 3 == 1): ch = 2, n = 14 frames, rate 32000; stride 4
+    // gives 4 output frames — the last window holds only 2 frames, so the
+    // mean divisor shrinks to the actual window size
+    val df = Seq((13L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.withSyntheticPayload(df, "doc_id", realSamples = true)
+    val got = Multimodal.resampleAudio(media, stride = 4, lowpass = true)
+      .collect().head
+    def in(i: Int, c: Int): Int = ((13L * 31 + i * 7 + c * 13) % 2003 - 1001).toInt
+    val filtered = for (j <- 0 until 4; c <- 0 until 2) yield {
+      val wn = math.min(4 * j + 4, 14) - 4 * j
+      val sum = (0 until wn).map(i => in(4 * j + i, c).toLong).sum
+      (sum / wn).toInt // Java truncation toward zero — the oracle's trunc()
+    }
+    assert(got.in_frames == 14 && got.out_frames == 4 && got.out_rate == 8000)
+    assert(got.out_sum == filtered.map(_.toLong).sum, filtered.toString)
+    assert(got.out_peak == filtered.map(math.abs).max)
+    // filtering really happened: bare decimation gives a different sum
+    val bare = Multimodal.resampleAudio(media, stride = 4).collect().head
+    assert(bare.out_sum != got.out_sum, "boxcar left samples untouched")
+  }
+
+  test("m6 driver query reports zero decode fallbacks on the synthetic corpus") {
+    // the stage-metric surface a 100 TB run checks: every synthetic audio
+    // payload is a complete PCM16 WAV, so the named fallback accumulator
+    // the m6 query registers must read 0 after the action — a nonzero
+    // count is the "silently all fell back" failure mode made visible
+    val n = graft.SparkEntry.queries("m6_audio_resample")(
+      spark, "/root/testdata/sf0.001").count()
+    assert(n > 0)
+    val acc = graft.SparkEntry.stageMetrics.get("m6_audio_fallbacks")
+    assert(acc != null, "m6 query must register its fallback accumulator")
+    assert(acc.value == 0L, s"unexpected decode fallbacks: ${acc.value}")
+  }
+
   test("resizeImagesWithCorner: identity rows carry the emitted corner pixel") {
     val media = Seq(
       // identity: 20x10 fits maxSide 32 -> corner_b = (9*31) & 0xff
