@@ -91,6 +91,14 @@ class W3cSubsetSpec extends AnyFunSuite {
             tripleSet(action, minimal = true)
           }
 
+        case "NegativeJsonTest" =>
+          // the reference's suite shape: `expect {reader.to_json}.to
+          // raise_error` (`suite_spec.rb:68`) — generation, not validation,
+          // must fail on a structurally invalid metadata document
+          intercept[Exception] {
+            CsvwReader.jsonDocument(open(action, minimal = true), minimal = true)
+          }
+
         case other => fail(s"unknown manifest entry type $other")
       }
     }
