@@ -37,7 +37,7 @@ object Bench {
     */
   private val headline = Seq(
     "t1_triples_minimal", "t2_rdf_list", "t3_triples_standard",
-    "g1_graph_materialize",
+    "g1_graph_materialize", "g2_graph_canonicalize",
     "q1_agg", "q2_join_broadcast", "q3_window", "q4_sort_limit", "k1_salted_agg",
     "j3_entity_link", "j4_connected_components",
     "d1_dedup_exact", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",

@@ -390,6 +390,30 @@ object SparkEntry {
         .dropDuplicates()
         .sortWithinPartitions("subj", "pred", "obj")),
 
+    // the north-star composition end-to-end: transcript triples → mention
+    // detection (broadcast dict) → STAR candidate edges (Σk, not Σk² — hot
+    // entities stay linear) → iterative connected components → subjects
+    // rewritten to their component's canonical (lexicographic-min) URN →
+    // re-dedup. Each transcript text '{"k": N}' holds exactly ONE number
+    // token, so a turn links to at most one entity and the components are
+    // exactly the per-surface mention groups — which is what lets the
+    // oracle state the canonical map in closed form (min URN per surface)
+    // while the Spark side still runs the full generic CC iteration
+    "g2_graph_canonicalize" -> ((s, d) => {
+      import s.implicits._
+      val dict = Seq(("e_13", "13"), ("e_42", "42"), ("e_87", "87"),
+        ("e_55", "55"), ("e_29", "29")).toDF("entity_id", "surface")
+      val tr = transcripts(s, d).withColumn("subj_key",
+        concat(lit("urn:conv:"), col("conv_id"), lit("/turn/"),
+          col("turn_idx").cast("string")))
+      val m = EntityLink.mentions(tr, dict, "subj_key", "text")
+      val edges = EntityLink.starEdges(m, "subj_key")
+      val comp = withStatePartitions(s, 8) {
+        ConnectedComponents.run(s, edges).localCheckpoint()
+      }
+      EntityLink.canonicalizeSubjects(transcriptTriples(s, d, minimal = true), comp)
+    }),
+
     // ---- dedup suite (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding)
     "d1_dedup_exact" -> ((s, d) =>
       t(s, d, "events")
@@ -1330,6 +1354,31 @@ object SparkEntry {
 
     "g1_graph_materialize" ->
       s"$trCte SELECT DISTINCT * FROM (\n$minimalTriplesSelect\n)",
+
+    // closed-form canonical map: each transcript text '{"k": N}' holds one
+    // number token, so a turn mentions at most one dict surface and the
+    // generic CC result equals "lexicographic-min URN per surface" — the
+    // same min the Spark side's component labels carry. Both engines
+    // compare URN strings binary/ASCII, so min() agrees.
+    "g2_graph_canonicalize" ->
+      s"""$trCte,
+         |t AS (
+         |$minimalTriplesSelect
+         |),
+         |m AS (
+         |  SELECT DISTINCT
+         |    'urn:conv:' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS subj_key,
+         |    tok
+         |  FROM (SELECT conv_id, turn_idx,
+         |          unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         |        FROM transcripts)
+         |  WHERE length(tok) > 1 AND tok IN ('13','42','87','55','29')),
+         |canon AS (
+         |  SELECT subj_key, min(subj_key) OVER (PARTITION BY tok) AS canon
+         |  FROM m)
+         |SELECT DISTINCT coalesce(c.canon, t.subj) AS subj, t.pred, t.obj,
+         |  t.obj_iri, t.lang, t.dtype
+         |FROM t LEFT JOIN canon c ON t.subj = c.subj_key""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(props)), '\s+', ' ', 'g')) AS fp,

@@ -47,6 +47,47 @@ object EntityLink {
       .select(col("src"), col("dst"))
       .dropDuplicates()
   }
+
+  /** [[candidateEdges]] in STAR topology — the 100 TB form: per entity,
+    * every member links to the MIN member (the hub) instead of to every
+    * other member. Connectivity (and therefore the connected components)
+    * is identical, but the edge count is Σk instead of Σk² — a hot entity
+    * with 10⁶ co-mentions makes the all-pairs form a 10¹²-row join output
+    * (the job-killer the north-star's "hot entities" clause names) while
+    * the star stays at 10⁶. One hash aggregate (map-side combinable min)
+    * plus one entity-keyed join; no hints, AQE handles the hot-entity
+    * skew on the join key.
+    */
+  def starEdges(mentionsDf: DataFrame, keyCol: String): DataFrame = {
+    val nodes = mentionsDf.select(col("entity_id"), col(keyCol).as("member"))
+      .dropDuplicates()
+    val hubs = nodes.groupBy("entity_id").agg(min("member").as("hub"))
+    nodes.join(hubs, "entity_id")
+      .filter(col("member") =!= col("hub"))
+      .select(col("hub").as("src"), col("member").as("dst"))
+      .dropDuplicates()
+  }
+
+  /** Canonicalize a triple table through a component labelling: every
+    * subject that belongs to a component is rewritten to the component's
+    * canonical id (its lexicographic-min member — [[ConnectedComponents]]'
+    * label), then the merged graph re-deduplicates, because co-referent
+    * subjects can carry identical (pred, obj) legs. Subjects outside any
+    * component pass through unchanged (left join + coalesce).
+    *
+    * Scale shape: the canonical map is corpus-sized at web scale (one row
+    * per linked subject), so the rewrite is a subj-keyed equi-join with NO
+    * broadcast hint — AQE broadcasts it at fixture scale and shuffle-joins
+    * at data scale; the re-dedup is the same group-only hash aggregate as
+    * the g1 sink (map-side partial dedup before the exchange).
+    */
+  def canonicalizeSubjects(triples: DataFrame, components: DataFrame): DataFrame =
+    triples.join(
+        components.select(col("id").as("subj"), col("component").as("canon")),
+        Seq("subj"), "left")
+      .select(coalesce(col("canon"), col("subj")).as("subj"), col("pred"),
+        col("obj"), col("obj_iri"), col("lang"), col("dtype"))
+      .dropDuplicates()
 }
 
 /** Iterative connected components over an edge DataFrame — hand-rolled (no

@@ -26,6 +26,7 @@ class CodegenOnlySpec extends AnyFunSuite {
   // window/join/agg shapes (q1/q3/j3/j4).
   private val queryNames = Seq(
     "t1_triples_minimal", "t3_triples_standard", "g1_graph_materialize",
+    "g2_graph_canonicalize",
     "s7_json_minimal", "s3_csv_dialect", "f2_datatype_facets",
     "d2_minhash_lsh", "d3_simhash", "d4_jaccard_capped", "d5_embedding_dup",
     "d7_semantic_dedup",

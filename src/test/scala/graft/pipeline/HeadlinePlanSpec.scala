@@ -16,9 +16,9 @@ class HeadlinePlanSpec extends AnyFunSuite {
   private val Sf = "/root/testdata/sf0.001"
 
   /** name -> (shuffle budget, broadcast budget). Streaming queries are
-    * excluded (plans only exist per microbatch); j4 is iterative (per-round
-    * plans, audited in DedupScaleSpec's convergence tests); s1 is the
-    * documented brute-force cartesian baseline.
+    * excluded (plans only exist per microbatch); j4 and g2 are iterative
+    * (per-round CC plans, audited in DedupScaleSpec's convergence tests);
+    * s1 is the documented brute-force cartesian baseline.
     */
   private val budgets: Seq[(String, Int, Int)] = Seq(
     ("t1_triples_minimal", 1, 0),

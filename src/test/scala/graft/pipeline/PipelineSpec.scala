@@ -60,6 +60,38 @@ class EntityLinkSpec extends AnyFunSuite {
     val cc = ConnectedComponents.run(spark, edges).as[(String, String)].collect().toMap
     assert(cc.values.toSet == Set("n1"))
   }
+
+  test("starEdges: linear edge count, same components as all-pairs edges") {
+    // entity A spans {n1,n2,n3}, entity B spans {n3,n4}: n3 bridges them,
+    // so both edge constructions must yield ONE component labelled n1 —
+    // the star form with 3 edges (Σk), the all-pairs form with 4 (Σk²/2)
+    val m = Seq(("A", "n1"), ("A", "n2"), ("A", "n3"), ("B", "n3"), ("B", "n4"))
+      .toDF("entity_id", "k")
+    val star = EntityLink.starEdges(m, "k")
+      .as[(String, String)].collect().toSet
+    assert(star == Set(("n1", "n2"), ("n1", "n3"), ("n3", "n4")))
+    val allPairs = EntityLink.candidateEdges(m, "k")
+    val c1 = ConnectedComponents.run(spark, EntityLink.starEdges(m, "k"))
+      .as[(String, String)].collect().toMap
+    val c2 = ConnectedComponents.run(spark, allPairs)
+      .as[(String, String)].collect().toMap
+    assert(c1 == c2 && c1.values.toSet == Set("n1"), s"$c1 vs $c2")
+  }
+
+  test("canonicalizeSubjects: linked subjects merge onto the canonical, shared legs dedup") {
+    val triples = Seq(
+      ("s1", "p:role", "user", false, null.asInstanceOf[String], null.asInstanceOf[String]),
+      ("s2", "p:role", "user", false, null.asInstanceOf[String], null.asInstanceOf[String]),
+      ("s2", "p:text", "hi", false, null.asInstanceOf[String], null.asInstanceOf[String]),
+      ("s9", "p:role", "tool", false, null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("subj", "pred", "obj", "obj_iri", "lang", "dtype")
+    val comp = Seq(("s1", "s1"), ("s2", "s1")).toDF("id", "component")
+    val got = EntityLink.canonicalizeSubjects(triples, comp)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    // s2's role leg collapses into s1's identical leg; s9 passes through
+    assert(got == Set(
+      ("s1", "p:role", "user"), ("s1", "p:text", "hi"), ("s9", "p:role", "tool")))
+  }
 }
 
 class GraphWriterSpec extends AnyFunSuite {
