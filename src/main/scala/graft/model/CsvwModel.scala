@@ -223,15 +223,24 @@ object Resolve {
     default = Some(""), lang = Some("und"), nulls = Some(List("")),
     ordered = Some(false), required = Some(false), textDirection = Some("ltr"))
 
-  /** Column name resolution (`metadata.rb:1619-1636`): explicit name, else
-    * URI-encoded first title in the column's declared language, else "und",
-    * else `_col.N` — the reference checks `titles[context.default_language]`
-    * BEFORE `titles['und']`, so a column carrying both resolves to the
-    * language-tagged title.
+  /** The reference's column-name production (`metadata.rb:108`
+    * NAME_SYNTAX): leading `_col`, alphanumeric, or a percent-escape; then
+    * alphanumerics, `._`, or percent-escapes. An explicit `name` that
+    * violates it is INVALID — the reference warns "proper name format"
+    * (`metadata.rb:1617`) and ignores the property, so resolution falls
+    * back to the percent-encoded title.
+    */
+  val NameSyntax = "(?:_col|[a-zA-Z0-9]|%[0-9a-fA-F]{2})(?:[a-zA-Z0-9._]|%[0-9a-fA-F]{2})*".r
+
+  /** Column name resolution (`metadata.rb:1619-1636`): explicit name (when
+    * syntax-valid), else URI-encoded first title in the column's declared
+    * language, else "und", else `_col.N` — the reference checks
+    * `titles[context.default_language]` BEFORE `titles['und']`, so a column
+    * carrying both resolves to the language-tagged title.
     */
   def columnName(c: ColumnMeta, number: Int, colLang: String = "und",
                  contextLang: Option[String] = None): String =
-    c.name
+    c.name.filter(n => NameSyntax.matches(n))
       .orElse {
         // metadata.rb:1630: titles[context.default_language || 'und'] ||
         // titles[self.lang || 'und'] — context bucket first, then the

@@ -401,7 +401,11 @@ object CsvwValidate {
       "primaryKey" -> (StrOrArray, "a column reference"),
       "rowTitles" -> (StrOrArray, "a column reference")),
     "Column" -> Map(
-      "name" -> (Str, "a string"),
+      // proper name format (`metadata.rb:1617` + NAME_SYNTAX `:108`): a
+      // syntax-invalid explicit name warns and is ignored — resolution
+      // falls back to the encoded title (CsvwModel.columnName)
+      "name" -> (((n: JsonNode) => n.isTextual &&
+        Resolve.NameSyntax.matches(n.asText())), "proper name format"),
       "titles" -> (NaturalLang, "a string, array or language map"),
       "virtual" -> (Bool, "a boolean"),
       "suppressOutput" -> (Bool, "a boolean"),
