@@ -534,6 +534,23 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
     }),
 
+    // product-quantization ANN (the memory scale path: m-byte codes vs
+    // dim*8-byte vectors): m=2 subspace codebooks trained with the SAME
+    // deterministic Lloyd contract as s3 (k=16, 2 rounds, lowest-id init,
+    // per subvector), corpus PQ-encoded map-side, ADC scores assembled
+    // from a broadcast |Q|*m*k lookup table, top-1 by (rounded score, id).
+    // The DuckDB oracle replays BOTH subspace trainings through one chain
+    // partitioned by subspace, the encoding, the LUT, and the rank
+    "s4_ann_pq" -> ((s, d) => {
+      val base = embeddingsDouble(s, d)
+      val corpus = base.unionByName(perturbedCopies(base))
+      val cbs = AnnFunctions.trainPqCodebooks(base, "vec_id", "embedding",
+        m = 2, k = 16, iters = 2)
+      AnnFunctions.pqTopK(base.filter(col("vec_id") < 10), corpus,
+          "vec_id", "vec_id", "embedding", k = 1, cbs)
+        .select(col("query_id"), col("neighbor_id"), col("adc"))
+    }),
+
     // IVF ANN with a TRAINED codebook: deterministic Lloyd k-means (k=16,
     // 2 rounds, init = the 16 lowest-id base vectors — all part of the
     // query contract) over the base table, then corpus assigned to nearest
@@ -1927,6 +1944,71 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk AS rank
         |FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // full PQ replica: BOTH 32-dim subspace codebooks train through one
+    // Lloyd chain partitioned by subspace s (same init/tie-break contract
+    // as s3), the corpus PQ-encodes against the trained centroids, the
+    // query-side LUT holds sim(query subvector, centroid), and the ADC
+    // score is the per-(query, neighbor) sum joined on (s, cell) —
+    // rounded to 4 decimals BEFORE the id-tie-broken rank, as Spark does
+    "s4_ann_pq" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cp AS (SELECT vec_id + 100000 AS cvid,
+        |         list_transform(v, (x, i) ->
+        |           x + ((vec_id * 31 + (i - 1)) % 7 - 3) * CAST(0.002 AS DOUBLE)) AS v
+        |       FROM base),
+        |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT cvid AS vec_id, v FROM cp),
+        |subsp(s) AS (VALUES (0), (1)),
+        |bsub AS (SELECT s, vec_id, v[s*32+1 : s*32+32] AS sv FROM base CROSS JOIN subsp),
+        |csub AS (SELECT s, vec_id, v[s*32+1 : s*32+32] AS sv FROM corpus CROSS JOIN subsp),
+        |cent0 AS (
+        |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cell, sv AS cv
+        |  FROM bsub WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 16)),
+        |asg1 AS (
+        |  SELECT s, vec_id, sv, cell FROM (
+        |    SELECT b.s, b.vec_id, b.sv, c.cell,
+        |      row_number() OVER (PARTITION BY b.s, b.vec_id
+        |        ORDER BY list_cosine_similarity(b.sv, c.cv) DESC, c.cell) AS rn
+        |    FROM bsub b JOIN cent0 c ON b.s = c.s) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT s, cell, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT s, cell, dim, avg(x) AS m FROM (
+        |      SELECT s, cell, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
+        |      FROM asg1) GROUP BY s, cell, dim) GROUP BY s, cell),
+        |cent1 AS (SELECT c0.s, c0.cell, coalesce(m1.cv, c0.cv) AS cv
+        |          FROM cent0 c0 LEFT JOIN m1 ON c0.s = m1.s AND c0.cell = m1.cell),
+        |asg2 AS (
+        |  SELECT s, vec_id, sv, cell FROM (
+        |    SELECT b.s, b.vec_id, b.sv, c.cell,
+        |      row_number() OVER (PARTITION BY b.s, b.vec_id
+        |        ORDER BY list_cosine_similarity(b.sv, c.cv) DESC, c.cell) AS rn
+        |    FROM bsub b JOIN cent1 c ON b.s = c.s) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT s, cell, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT s, cell, dim, avg(x) AS m FROM (
+        |      SELECT s, cell, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
+        |      FROM asg2) GROUP BY s, cell, dim) GROUP BY s, cell),
+        |cent AS (SELECT c1.s, c1.cell, coalesce(m2.cv, c1.cv) AS cv
+        |         FROM cent1 c1 LEFT JOIN m2 ON c1.s = m2.s AND c1.cell = m2.cell),
+        |codes AS (
+        |  SELECT s, vec_id, cell FROM (
+        |    SELECT cs.s, cs.vec_id, ct.cell,
+        |      row_number() OVER (PARTITION BY cs.s, cs.vec_id
+        |        ORDER BY list_cosine_similarity(cs.sv, ct.cv) DESC, ct.cell) AS rn
+        |    FROM csub cs JOIN cent ct ON cs.s = ct.s) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, ct.s, ct.cell,
+        |    list_cosine_similarity(q.sv, ct.cv) AS sim
+        |  FROM (SELECT * FROM bsub WHERE vec_id < 10) q JOIN cent ct ON q.s = ct.s),
+        |score AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id, round(sum(l.sim), 4) AS adc
+        |  FROM codes c JOIN lut l ON c.s = l.s AND c.cell = l.cell
+        |  WHERE l.query_id <> c.vec_id
+        |  GROUP BY l.query_id, c.vec_id)
+        |SELECT query_id, neighbor_id, adc FROM (
+        |  SELECT query_id, neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+        |  FROM score) WHERE rn = 1""".stripMargin,
 
     // readExact over the region-derived CSV: 1 skipped comment line + 1
     // header line, then the 5 regions with logical/source row numbers

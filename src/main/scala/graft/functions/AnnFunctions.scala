@@ -241,4 +241,91 @@ object AnnFunctions {
           .orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): the
+    * embedding splits into `m` contiguous subvectors and each subspace
+    * trains its own [[trainCodebook]] independently — same deterministic
+    * Lloyd contract (lowest-id init, cosine-desc/index tie-break), so an
+    * external oracle replays all `m` trainings with the shared chain.
+    * Returns `codebooks(j)(c)` = centroid c of subspace j.
+    *
+    * This is the ANN MEMORY scale path: a PQ code is `m` small ints (m
+    * bytes at k ≤ 256) versus dim×8 bytes for the raw vector — ×256
+    * compression at dim=64/m=2, which is what lets a 10¹⁰-vector index
+    * stay executor-resident at 100 TB corpus scale. Training reads the
+    * (sampled) corpus once per subspace; one tiny driver action fetches
+    * the dimension up front (training is an offline batch job — the
+    * codebook then ships as a plan literal, like the IVF codebook).
+    */
+  def trainPqCodebooks(df: DataFrame, idCol: String, embCol: String,
+                       m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(embCol))).head.getInt(0)
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      trainCodebook(df.select(col(idCol),
+        slice(col(embCol), j * sub + 1, sub).as(embCol)), idCol, embCol, k, iters)
+    }
+  }
+
+  /** PQ encode: `array(m)` of nearest-subspace-centroid indices — the same
+    * fused zero-shuffle assignment expression as IVF, once per subspace.
+    * Map-only; the corpus is read exactly once.
+    */
+  def pqCodes(emb: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(ivfCells(slice(emb, j * sub + 1, sub), cb, 1), 1)
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes via the published
+    * lookup-table plan: each query precomputes its similarity to every
+    * subspace centroid (a |Q|×m×k LUT — tiny, broadcast), the corpus
+    * contributes only its m-int codes (exploded to one row per subspace,
+    * map-only — the raw embeddings never ship), and the approximate score
+    * is `Σ_j sim(q_subj, centroid[code_j])`, assembled by joining codes to
+    * the LUT on (subspace, cell) and summing per (query, neighbor).
+    *
+    * 100 TB shape: the one corpus-sized exchange is the (query, neighbor)
+    * partial-sum aggregate (map-side combinable; m rows in, 1 out), plus
+    * the top-k window keyed by query — both on compressed codes, never on
+    * vectors. Scoring itself is a broadcast hash join against the LUT:
+    * per corpus row it costs a hash probe, not a dim-length dot product —
+    * the bandwidth win that makes brute ADC over 10¹⁰ codes feasible
+    * where brute cosine is not. Rounding to 4 decimals before the rank
+    * (with the id tie-break) keeps the result hash-stable: the per-pair
+    * sum has only m commutative terms (m=2 here), so partial-aggregation
+    * order cannot move the rounded score.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             qId: String, cId: String, embCol: String, k: Int,
+             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = codebooks(0)(0).length
+    val codes = corpus.select(col(cId).as("neighbor_id"),
+        posexplode(pqCodes(col(embCol), codebooks)).as(Seq("s", "code")))
+    // the codebook as a literal struct array: explode is map-only on the
+    // small query side — a tiny-table join here would plan a cartesian
+    val entries = array(codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cent, c) =>
+        struct(lit(j).as("s"), lit(c).as("cell"),
+          array(cent.map(lit): _*).as("centroid"))
+      }
+    }: _*)
+    val lut = queries.select(col(qId).as("query_id"), col(embCol).as("q"))
+      .select(col("query_id"), col("q"), explode(entries).as("e"))
+      .select(col("query_id"), col("e.s").as("ls"), col("e.cell").as("cell"),
+        cosine(slice(col("q"), col("e.s") * sub + 1, lit(sub)),
+          col("e.centroid")).as("sim"))
+    codes.join(broadcast(lut),
+        col("s") === col("ls") && col("code") === col("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum("sim"), 4).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
 }

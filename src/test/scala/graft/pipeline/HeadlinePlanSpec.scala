@@ -35,6 +35,9 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("d4_jaccard_capped", 8, 10),
     ("d5_embedding_dup", 1, 3),
     ("s2_ann_lsh", 2, 3),
+    // ADC partial-sum agg + query-keyed top-k window; LUT broadcast —
+    // the corpus side carries only m-int codes, never raw vectors
+    ("s4_ann_pq", 2, 1),
     ("s7_json_minimal", 1, 0),
     ("x5_token_bpe", 0, 0),
     ("x6_stratified_sample", 0, 0),

@@ -139,4 +139,71 @@ class IvfSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pqCodes: per-subspace nearest-centroid indices with hand-built codebooks") {
+    // dim 4, m=2: subspace axes (1,0)/(0,1) as centroids — codes are the
+    // 0-based argmax cells, subspace by subspace
+    val cbs = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val got = Seq(
+      (1L, Seq(0.9, 0.1, 0.2, 0.8)),  // sub0 -> cell 0, sub1 -> cell 1
+      (2L, Seq(0.1, 0.9, 0.8, 0.2))   // sub0 -> cell 1, sub1 -> cell 0
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), AnnFunctions.pqCodes(col("embedding"), cbs).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == Map(1L -> Seq(0, 1), 2L -> Seq(1, 0)))
+  }
+
+  test("trainPqCodebooks == independent trainCodebook per subvector slice") {
+    val cbs = AnnFunctions.trainPqCodebooks(base, "vec_id", "embedding",
+      m = 2, k = 4, iters = 2)
+    assert(cbs.length == 2 && cbs.forall(cb => cb.length == 4 && cb.forall(_.length == Dim / 2)))
+    (0 until 2).foreach { j =>
+      val sliced = base.select(col("vec_id"),
+        slice(col("embedding"), j * (Dim / 2) + 1, Dim / 2).as("embedding"))
+      val want = AnnFunctions.trainCodebook(sliced, "vec_id", "embedding", k = 4, iters = 2)
+      assert(cbs(j).map(_.toSeq).toSeq == want.map(_.toSeq).toSeq, s"subspace $j")
+    }
+  }
+
+  test("pqTopK: ADC ranks the code-sharing near-copy first; distinct-cell decoy loses") {
+    // the copy encodes to the query's own product cell, so its ADC equals
+    // the per-subspace maximum; the decoy lives in the opposite cells
+    val cbs = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.05, 0.05, 1.0)),   // the query itself (excluded)
+      (10L, Seq(0.99, 0.06, 0.04, 0.98)), // near-copy, same codes
+      (5L, Seq(0.05, 1.0, 1.0, 0.05))    // decoy in the opposite cells
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val top = AnnFunctions.pqTopK(q, corpus, "vec_id", "vec_id", "embedding",
+        k = 2, cbs)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(top == Set((1L, 10L, 1), (1L, 5L, 2)), top.toString)
+  }
+
+  test("pqTopK on the sf-style corpus: every query's top-1 SCORE equals its planted copy's") {
+    // PQ resolution is the product cell: vectors sharing the query's codes
+    // tie at the maximal ADC and the id tie-break picks the lowest — so
+    // the copy may not BE top-1, but nothing can outscore it. This is the
+    // documented contract (ADC is the candidate stage; exact re-rank via
+    // bruteForce/ivfTopK when final order matters).
+    val cbs = AnnFunctions.trainPqCodebooks(base, "vec_id", "embedding",
+      m = 2, k = 4, iters = 2)
+    val queries = base.filter(col("vec_id") < 10)
+    val ranked = AnnFunctions.pqTopK(queries, corpus, "vec_id", "vec_id",
+      "embedding", k = 2 * N, cbs)
+    val rows = ranked.select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect()
+    val byQuery = rows.groupBy(_._1)
+    (0L until 10L).foreach { q =>
+      val rs = byQuery(q)
+      val top = rs.map(_._3).max
+      val copyScore = rs.find(_._2 == 1000L + q).map(_._3)
+      assert(copyScore.contains(top), s"query $q: copy ${copyScore} vs top $top")
+    }
+  }
 }
