@@ -43,7 +43,7 @@ object Bench {
     "d1_dedup_exact", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
     "d4_jaccard_capped", "d5_embedding_dup", "d6_dup_clusters",
     "d7_semantic_dedup",
-    "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_pq",
+    "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_pq", "s5_ann_pq_rerank",
     "s7_json_minimal", "x5_token_bpe",
     "m2_frame_sample", "m3_image_resize", "m4_resize_reencode",
     "m5_audio_decode", "m6_audio_resample", "m7_audio_lowpass",

@@ -551,6 +551,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("adc"))
     }),
 
+    // the deployed two-stage shape: ADC candidates (32 per query, codes
+    // only) -> exact cosine re-rank of just those rows. Restores exact
+    // order on the bounded set — each query's top-1 is its >=0.999-cosine
+    // planted copy, which coarse ADC alone tie-hid behind lower ids
+    "s5_ann_pq_rerank" -> ((s, d) => {
+      val base = embeddingsDouble(s, d)
+      val corpus = base.unionByName(perturbedCopies(base))
+      val cbs = AnnFunctions.trainPqCodebooks(base, "vec_id", "embedding",
+        m = 2, k = 16, iters = 2)
+      AnnFunctions.pqRerankTopK(base.filter(col("vec_id") < 10), corpus,
+          "vec_id", "vec_id", "embedding", k = 1, cbs, candidates = 32)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
+
     // IVF ANN with a TRAINED codebook: deterministic Lloyd k-means (k=16,
     // 2 rounds, init = the 16 lowest-id base vectors — all part of the
     // query contract) over the base table, then corpus assigned to nearest
@@ -1209,6 +1224,64 @@ object SparkEntry {
     }))
 
   // -------------------------------------------------------------- oracle SQL
+
+
+  /** Shared PQ oracle chain (s4/s5): subspace-partitioned Lloyd training,
+    * corpus encoding, query LUT, and per-(query, neighbor) ADC scores. */
+  private val pqChainCtes: String =
+        """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cp AS (SELECT vec_id + 100000 AS cvid,
+          |         list_transform(v, (x, i) ->
+          |           x + ((vec_id * 31 + (i - 1)) % 7 - 3) * CAST(0.002 AS DOUBLE)) AS v
+          |       FROM base),
+          |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT cvid AS vec_id, v FROM cp),
+          |subsp(s) AS (VALUES (0), (1)),
+          |bsub AS (SELECT s, vec_id, v[s*32+1 : s*32+32] AS sv FROM base CROSS JOIN subsp),
+          |csub AS (SELECT s, vec_id, v[s*32+1 : s*32+32] AS sv FROM corpus CROSS JOIN subsp),
+          |cent0 AS (
+          |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cell, sv AS cv
+          |  FROM bsub WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 16)),
+          |asg1 AS (
+          |  SELECT s, vec_id, sv, cell FROM (
+          |    SELECT b.s, b.vec_id, b.sv, c.cell,
+          |      row_number() OVER (PARTITION BY b.s, b.vec_id
+          |        ORDER BY list_cosine_similarity(b.sv, c.cv) DESC, c.cell) AS rn
+          |    FROM bsub b JOIN cent0 c ON b.s = c.s) WHERE rn = 1),
+          |m1 AS (
+          |  SELECT s, cell, list(m ORDER BY dim) AS cv FROM (
+          |    SELECT s, cell, dim, avg(x) AS m FROM (
+          |      SELECT s, cell, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
+          |      FROM asg1) GROUP BY s, cell, dim) GROUP BY s, cell),
+          |cent1 AS (SELECT c0.s, c0.cell, coalesce(m1.cv, c0.cv) AS cv
+          |          FROM cent0 c0 LEFT JOIN m1 ON c0.s = m1.s AND c0.cell = m1.cell),
+          |asg2 AS (
+          |  SELECT s, vec_id, sv, cell FROM (
+          |    SELECT b.s, b.vec_id, b.sv, c.cell,
+          |      row_number() OVER (PARTITION BY b.s, b.vec_id
+          |        ORDER BY list_cosine_similarity(b.sv, c.cv) DESC, c.cell) AS rn
+          |    FROM bsub b JOIN cent1 c ON b.s = c.s) WHERE rn = 1),
+          |m2 AS (
+          |  SELECT s, cell, list(m ORDER BY dim) AS cv FROM (
+          |    SELECT s, cell, dim, avg(x) AS m FROM (
+          |      SELECT s, cell, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
+          |      FROM asg2) GROUP BY s, cell, dim) GROUP BY s, cell),
+          |cent AS (SELECT c1.s, c1.cell, coalesce(m2.cv, c1.cv) AS cv
+          |         FROM cent1 c1 LEFT JOIN m2 ON c1.s = m2.s AND c1.cell = m2.cell),
+          |codes AS (
+          |  SELECT s, vec_id, cell FROM (
+          |    SELECT cs.s, cs.vec_id, ct.cell,
+          |      row_number() OVER (PARTITION BY cs.s, cs.vec_id
+          |        ORDER BY list_cosine_similarity(cs.sv, ct.cv) DESC, ct.cell) AS rn
+          |    FROM csub cs JOIN cent ct ON cs.s = ct.s) WHERE rn = 1),
+          |lut AS (
+          |  SELECT q.vec_id AS query_id, ct.s, ct.cell,
+          |    list_cosine_similarity(q.sv, ct.cv) AS sim
+          |  FROM (SELECT * FROM bsub WHERE vec_id < 10) q JOIN cent ct ON q.s = ct.s),
+          |score AS (
+          |  SELECT l.query_id, c.vec_id AS neighbor_id, round(sum(l.sim), 4) AS adc
+          |  FROM codes c JOIN lut l ON c.s = l.s AND c.cell = l.cell
+          |  WHERE l.query_id <> c.vec_id
+          |  GROUP BY l.query_id, c.vec_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1952,63 +2025,33 @@ object SparkEntry {
     // score is the per-(query, neighbor) sum joined on (s, cell) —
     // rounded to 4 decimals BEFORE the id-tie-broken rank, as Spark does
     "s4_ann_pq" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cp AS (SELECT vec_id + 100000 AS cvid,
-        |         list_transform(v, (x, i) ->
-        |           x + ((vec_id * 31 + (i - 1)) % 7 - 3) * CAST(0.002 AS DOUBLE)) AS v
-        |       FROM base),
-        |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT cvid AS vec_id, v FROM cp),
-        |subsp(s) AS (VALUES (0), (1)),
-        |bsub AS (SELECT s, vec_id, v[s*32+1 : s*32+32] AS sv FROM base CROSS JOIN subsp),
-        |csub AS (SELECT s, vec_id, v[s*32+1 : s*32+32] AS sv FROM corpus CROSS JOIN subsp),
-        |cent0 AS (
-        |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cell, sv AS cv
-        |  FROM bsub WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 16)),
-        |asg1 AS (
-        |  SELECT s, vec_id, sv, cell FROM (
-        |    SELECT b.s, b.vec_id, b.sv, c.cell,
-        |      row_number() OVER (PARTITION BY b.s, b.vec_id
-        |        ORDER BY list_cosine_similarity(b.sv, c.cv) DESC, c.cell) AS rn
-        |    FROM bsub b JOIN cent0 c ON b.s = c.s) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT s, cell, list(m ORDER BY dim) AS cv FROM (
-        |    SELECT s, cell, dim, avg(x) AS m FROM (
-        |      SELECT s, cell, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
-        |      FROM asg1) GROUP BY s, cell, dim) GROUP BY s, cell),
-        |cent1 AS (SELECT c0.s, c0.cell, coalesce(m1.cv, c0.cv) AS cv
-        |          FROM cent0 c0 LEFT JOIN m1 ON c0.s = m1.s AND c0.cell = m1.cell),
-        |asg2 AS (
-        |  SELECT s, vec_id, sv, cell FROM (
-        |    SELECT b.s, b.vec_id, b.sv, c.cell,
-        |      row_number() OVER (PARTITION BY b.s, b.vec_id
-        |        ORDER BY list_cosine_similarity(b.sv, c.cv) DESC, c.cell) AS rn
-        |    FROM bsub b JOIN cent1 c ON b.s = c.s) WHERE rn = 1),
-        |m2 AS (
-        |  SELECT s, cell, list(m ORDER BY dim) AS cv FROM (
-        |    SELECT s, cell, dim, avg(x) AS m FROM (
-        |      SELECT s, cell, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
-        |      FROM asg2) GROUP BY s, cell, dim) GROUP BY s, cell),
-        |cent AS (SELECT c1.s, c1.cell, coalesce(m2.cv, c1.cv) AS cv
-        |         FROM cent1 c1 LEFT JOIN m2 ON c1.s = m2.s AND c1.cell = m2.cell),
-        |codes AS (
-        |  SELECT s, vec_id, cell FROM (
-        |    SELECT cs.s, cs.vec_id, ct.cell,
-        |      row_number() OVER (PARTITION BY cs.s, cs.vec_id
-        |        ORDER BY list_cosine_similarity(cs.sv, ct.cv) DESC, ct.cell) AS rn
-        |    FROM csub cs JOIN cent ct ON cs.s = ct.s) WHERE rn = 1),
-        |lut AS (
-        |  SELECT q.vec_id AS query_id, ct.s, ct.cell,
-        |    list_cosine_similarity(q.sv, ct.cv) AS sim
-        |  FROM (SELECT * FROM bsub WHERE vec_id < 10) q JOIN cent ct ON q.s = ct.s),
-        |score AS (
-        |  SELECT l.query_id, c.vec_id AS neighbor_id, round(sum(l.sim), 4) AS adc
-        |  FROM codes c JOIN lut l ON c.s = l.s AND c.cell = l.cell
-        |  WHERE l.query_id <> c.vec_id
-        |  GROUP BY l.query_id, c.vec_id)
+      s"""$pqChainCtes
         |SELECT query_id, neighbor_id, adc FROM (
         |  SELECT query_id, neighbor_id, adc,
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
         |  FROM score) WHERE rn = 1""".stripMargin,
+
+    // two-stage replica: the same chain down to ADC scores, candidates =
+    // the 32 best (adc desc, id) per query, then EXACT cosine re-rank of
+    // only those rows against the raw vectors — top-1 per query
+    "s5_ann_pq_rerank" ->
+      s"""$pqChainCtes,
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+        |    FROM score) WHERE rn <= 32),
+        |rr AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM cand cd
+        |  JOIN corpus c ON c.vec_id = cd.neighbor_id
+        |  JOIN base q ON q.vec_id = cd.query_id)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM rr) WHERE rn = 1""".stripMargin,
+
 
     // readExact over the region-derived CSV: 1 skipped comment line + 1
     // header line, then the 5 regions with logical/source row numbers

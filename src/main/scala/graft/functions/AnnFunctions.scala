@@ -298,6 +298,36 @@ object AnnFunctions {
     * sum has only m commutative terms (m=2 here), so partial-aggregation
     * order cannot move the rounded score.
     */
+  /** The full two-stage PQ pipeline: ADC candidate generation
+    * ([[pqTopK]], `candidates` per query — cheap, codes only) followed by
+    * an EXACT cosine re-rank of just those candidates against the raw
+    * vectors. This is the published deployment shape (coarse ADC recall,
+    * exact order restored on a bounded set): the re-rank joins the
+    * candidate ids back to the corpus — |Q|·candidates rows, a droplet
+    * against the corpus — so the expensive dim-length dot products run
+    * O(|Q|·candidates) times instead of O(|Q|·|C|). The candidate join is
+    * keyed on neighbor_id with no hints (AQE broadcasts the candidate
+    * list at any sane |Q|); queries broadcast onto it for the re-score.
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame,
+                   qId: String, cId: String, embCol: String, k: Int,
+                   codebooks: Array[Array[Array[Double]]],
+                   candidates: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = pqTopK(queries, corpus, qId, cId, embCol, candidates, codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"))
+    val cv = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"))
+    cand.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              qId: String, cId: String, embCol: String, k: Int,
              codebooks: Array[Array[Array[Double]]]): DataFrame = {

@@ -30,7 +30,7 @@ class CodegenOnlySpec extends AnyFunSuite {
     "s7_json_minimal", "s3_csv_dialect", "f2_datatype_facets",
     "d2_minhash_lsh", "d3_simhash", "d4_jaccard_capped", "d5_embedding_dup",
     "d7_semantic_dedup",
-    "s3_ann_ivf", "s4_ann_pq",
+    "s3_ann_ivf", "s4_ann_pq", "s5_ann_pq_rerank",
     "x1_lang_id", "x5_token_bpe", "x8_pii_redact", "x9_repetition",
     "x10_word_rarity", "x11_url_filter", "x12_line_dedup", "x13_seq_pack",
     "x14_pack_chunks",

@@ -38,6 +38,9 @@ class HeadlinePlanSpec extends AnyFunSuite {
     // ADC partial-sum agg + query-keyed top-k window; LUT broadcast —
     // the corpus side carries only m-int codes, never raw vectors
     ("s4_ann_pq", 2, 1),
+    // s4's two exchanges; the re-rank legs are all broadcast joins at
+    // spec scale (candidate list + query vectors), no extra shuffle
+    ("s5_ann_pq_rerank", 2, 3),
     ("s7_json_minimal", 1, 0),
     ("x5_token_bpe", 0, 0),
     ("x6_stratified_sample", 0, 0),

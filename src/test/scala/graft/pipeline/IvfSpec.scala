@@ -185,6 +185,21 @@ class IvfSpec extends AnyFunSuite {
     assert(top == Set((1L, 10L, 1), (1L, 5L, 2)), top.toString)
   }
 
+  test("pqRerankTopK: exact re-rank restores brute-force top-1 over ADC candidates") {
+    val cbs = AnnFunctions.trainPqCodebooks(base, "vec_id", "embedding",
+      m = 2, k = 4, iters = 2)
+    val queries = base.filter(col("vec_id") < 10)
+    val got = AnnFunctions.pqRerankTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 1, cbs, candidates = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = AnnFunctions.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"rerank $got vs brute $brute")
+    // and the winners are the planted >=0.999-cosine copies
+    assert(got == (0L until 10L).map(q => (q, 1000L + q)).toSet)
+  }
+
   test("pqTopK on the sf-style corpus: every query's top-1 SCORE equals its planted copy's") {
     // PQ resolution is the product cell: vectors sharing the query's codes
     // tie at the maximal ADC and the id tie-break picks the lowest — so
