@@ -51,6 +51,7 @@ object Bench {
     "x6_stratified_sample", "x7_decontaminate", "x8_pii_redact",
     "x9_repetition", "x10_word_rarity", "x11_url_filter",
     "x12_line_dedup", "x13_seq_pack", "x14_pack_chunks",
+    "x15_domain_weights", "x16_loss_mask",
     "w1_turn_order", "m1_multimodal_decode",
     // CSVW mapping/validation/source family (cheap, config-scale fixtures)
     "a1_pk_duplicates", "a2_fk_dup_targets", "a3_comment_rows",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AnnFunctions, DedupFunctions, Multimodal, Packing, Sampling, TextFunctions}
+import graft.functions.{AnnFunctions, DedupFunctions, Mixing, Multimodal, Packing, Sampling, TextFunctions}
 import graft.link.{ConnectedComponents, EntityLink}
 import graft.mapper.{TripleMapper, Vocab}
 import graft.model.{CsvwJson, Resolve, ResolvedTable}
@@ -685,6 +685,26 @@ object SparkEntry {
         TextFunctions.urlBlocked(col("txt"),
           Seq("site0.example", "site3.example", "cdn1.example")).as("blocked"))
     }),
+
+    // temperature-scaled domain mixing over x11's planted-URL domains:
+    // one domain-count aggregate, then metadata-tier windows (ordered, so
+    // the double sums are bit-stable) produce share^0.3 renormalized
+    // sampling weights — the oracle replays count, share, pow, and both
+    // ordered whole-frame sums
+    "x15_domain_weights" -> ((s, d) => {
+      val withUrls = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")).as("txt"))
+      Mixing.domainWeights(withUrls.select(col("doc_id"),
+        TextFunctions.firstUrlDomain(col("txt")).as("domain")), "domain", alpha = 0.3)
+    }),
+
+    // SFT loss-mask accounting per conversation: trainable = the
+    // 'click'/'view' roles (stand-ins for assistant turns in the synthetic
+    // role alphabet), token counts from the same BPE regex as x13/x14
+    "x16_loss_mask" -> ((s, d) =>
+      Mixing.lossMaskStats(transcripts(s, d), Seq("click", "view"))),
 
     // line-level dedup (boilerplate removal): the synthetic corpus is
     // single-line, so each doc gets planted lines — one universal footer,
@@ -1676,6 +1696,48 @@ object SparkEntry {
         |  regexp_matches(lower(txt),
         |    'https?://(?:site0\.example|site3\.example|cdn1\.example)(?:[/\s]|\z)') AS blocked
         |FROM u""".stripMargin,
+
+    // same planted single-URL construction; share and weight replayed with
+    // the SAME ordered whole-frame window sums the Spark plan pins, both
+    // rounded to 6 decimals
+    "x15_domain_weights" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 7) || '.example/p/' || doc_id AS txt
+        |  FROM documents),
+        |c AS (
+        |  SELECT lower(regexp_extract(txt, 'https?://([^/\s]+)', 1)) AS domain,
+        |    count(*) AS n_docs
+        |  FROM u GROUP BY 1),
+        |t AS (
+        |  SELECT domain, n_docs,
+        |    CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (ORDER BY domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS share
+        |  FROM c),
+        |w AS (SELECT domain, n_docs, share, pow(share, 0.3) AS wraw FROM t)
+        |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+        |  round(share, 6) AS share,
+        |  round(wraw / sum(wraw) OVER (ORDER BY domain
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS weight
+        |FROM w""".stripMargin,
+
+    // same BPE token regex as x13; trainable roles = click/view; every
+    // counter integer, the fraction a single double division
+    "x16_loss_mask" ->
+      s"""$trCte
+         |SELECT conv_id,
+         |  CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(sum(CASE WHEN role IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_trainable_turns,
+         |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN role IN ('click','view') THEN ntok ELSE 0 END) AS BIGINT)
+         |    AS trainable_tokens,
+         |  round(CAST(sum(CASE WHEN role IN ('click','view') THEN ntok ELSE 0 END) AS DOUBLE)
+         |    / greatest(CAST(sum(ntok) AS DOUBLE), 1.0), 6) AS trainable_fraction
+         |FROM (SELECT conv_id, role,
+         |        len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]')) AS ntok
+         |      FROM transcripts)
+         |GROUP BY conv_id""".stripMargin,
 
     // same planted lines; boilerplate = non-empty lines with >= 10
     // occurrences corpus-wide; clean_text reassembles survivors in order

@@ -33,7 +33,7 @@ class CodegenOnlySpec extends AnyFunSuite {
     "s3_ann_ivf", "s4_ann_pq", "s5_ann_pq_rerank",
     "x1_lang_id", "x5_token_bpe", "x8_pii_redact", "x9_repetition",
     "x10_word_rarity", "x11_url_filter", "x12_line_dedup", "x13_seq_pack",
-    "x14_pack_chunks",
+    "x14_pack_chunks", "x15_domain_weights", "x16_loss_mask",
     "m1_multimodal_decode", "m2_frame_sample", "m6_audio_resample",
     "m7_audio_lowpass",
     "q1_agg", "q3_window", "j3_entity_link", "j4_connected_components")

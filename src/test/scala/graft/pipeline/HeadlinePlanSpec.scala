@@ -64,6 +64,11 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("x13_seq_pack", 3, 1),
     // x13's three exchanges; the chunk explode is map-only on top
     ("x14_pack_chunks", 3, 1),
+    // domain-count agg; the two whole-frame windows run over #domains
+    // rows (metadata tier) in ONE deliberate single-partition exchange
+    ("x15_domain_weights", 2, 0),
+    // one conv-keyed hash aggregate
+    ("x16_loss_mask", 1, 0),
     ("m4_resize_reencode", 0, 0),
     ("m5_audio_decode", 0, 0),
     ("m6_audio_resample", 0, 0),

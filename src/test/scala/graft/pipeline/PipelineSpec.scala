@@ -434,6 +434,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Set((1L, 0, true), (2L, 0, false), (3L, 1, true), (4L, 1, true)))
   }
 
+  test("domainWeights: alpha=1 reproduces shares; alpha<1 lifts the tail; nulls drop") {
+    val df = (Seq.fill(8)("big.example") ++ Seq("tail.example") ++ Seq(null))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "domain")
+    val natural = graft.functions.Mixing.domainWeights(df, "domain", alpha = 1.0)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(natural("big.example")._2 == 8L && natural("tail.example")._2 == 1L)
+    assert(natural.size == 2, "null domain must not form a stratum")
+    assert(math.abs(natural("big.example")._4 - 8.0 / 9) < 1e-6)
+    val tempered = graft.functions.Mixing.domainWeights(df, "domain", alpha = 0.5)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    // sqrt(8/9) : sqrt(1/9) normalized — the tail domain's weight rises
+    // from 1/9 to 1/(1+sqrt(8)) ≈ 0.261
+    assert(math.abs(tempered("tail.example") - 1.0 / (1 + math.sqrt(8.0))) < 1e-6)
+    assert(math.abs(tempered.values.sum - 1.0) < 1e-5, "weights renormalize")
+  }
+
+  test("lossMaskStats: integer mask accounting over crafted turns") {
+    val tr = Seq(
+      ("c1", "user", "ask me one"),         // 3 tokens, masked
+      ("c1", "assistant", "two toks"),      // 2 tokens, trainable
+      ("c1", "assistant", "and three more"),// 4 tokens ("three" -> thre|e), trainable
+      ("c2", "user", "only context here")   // 4 tokens ("context" -> cont|ext), masked
+    ).toDF("conv_id", "role", "text")
+    val got = graft.functions.Mixing.lossMaskStats(tr, Seq("assistant"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("c1") == (("c1", 3L, 2L, 9L, 6L, 0.666667)))
+    assert(got("c2") == (("c2", 1L, 0L, 4L, 0L, 0.0)))
+  }
+
   test("semanticDupFlags nprobe=2 catches the cell-boundary straddler nprobe=1 misses") {
     // two near-identical vectors (1° apart, cosine ~0.9998) straddling the
     // 22.5° bisector between the two centroids: primary cells differ, so
