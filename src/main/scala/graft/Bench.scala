@@ -64,7 +64,7 @@ object Bench {
     "s5_metadata_resolve", "s5_compat_report",
     "t4_common_properties", "t5_provenance", "r1_reader_open",
     "v1_turn_invariant",
-    "str1_stream_counts", "str2_stream_dedup", "str3_stream_dedup_native")
+    "str1_stream_counts", "str4_stream_mentions", "str2_stream_dedup", "str3_stream_dedup_native")
 
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()

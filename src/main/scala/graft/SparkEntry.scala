@@ -835,6 +835,33 @@ object SparkEntry {
         col("conv_id"), col("turns"))
     }),
 
+    // streaming entity linking: the batch mention plan (broadcast dict
+    // join) composed with watermark + windowed counts — state bounded by
+    // watermark horizon x live entities, never corpus-sized; the oracle is
+    // the batch equivalent over the same transcripts
+    "str4_stream_mentions" -> ((s, d) => {
+      import s.implicits._
+      val tmp = streamFixture(s, d)
+      val dict = Seq(("e_13", "13"), ("e_42", "42"), ("e_87", "87"))
+        .toDF("entity_id", "surface")
+      withStatePartitions(s, 8) {
+        withStreamCheckpoint { ckpt =>
+          val q = graft.streaming.TranscriptStream.mentionCounts(
+              graft.streaming.TranscriptStream.readStream(s, tmp), dict)
+            .writeStream.outputMode("complete").format("memory")
+            .option("checkpointLocation", ckpt)
+            .queryName("graft_stream_mentions").start()
+          try q.processAllAvailable() finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+        }
+      }
+      s.table("graft_stream_mentions").select(
+        date_format(col("window.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
+        col("entity_id"), col("mentions"))
+    }),
+
     // ---- streaming stateful dedup (flatMapGroupsWithState with event-time
     // TTL state): each distinct triple emitted exactly once within the
     // horizon — the fixture's event-time span sits inside the 365-day TTL,
@@ -2383,6 +2410,21 @@ object SparkEntry {
          |SELECT strftime(date_trunc('minute', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
          |  conv_id, count(*) AS turns
          |FROM transcripts GROUP BY 1, 2""".stripMargin,
+
+    // batch equivalent of the streaming mention counts: same tokenizer,
+    // dictionary, and 1-minute event-time window
+    "str4_stream_mentions" ->
+      s"""$trCte,
+         |dict(entity_id, surface) AS (VALUES
+         |  ('e_13','13'),('e_42','42'),('e_87','87')),
+         |toks AS (
+         |  SELECT ts, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         |  FROM transcripts)
+         |SELECT strftime(date_trunc('minute', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
+         |  entity_id, count(*) AS mentions
+         |FROM toks JOIN dict ON tok = surface
+         |WHERE length(tok) > 1
+         |GROUP BY 1, 2""".stripMargin,
 
     "str2_stream_dedup" ->
       s"$trCte SELECT DISTINCT subj, pred, obj FROM (\n$minimalTriplesSelect\n)",
