@@ -252,20 +252,83 @@ object AnnFunctions {
     * This is the ANN MEMORY scale path: a PQ code is `m` small ints (m
     * bytes at k ≤ 256) versus dim×8 bytes for the raw vector — ×256
     * compression at dim=64/m=2, which is what lets a 10¹⁰-vector index
-    * stay executor-resident at 100 TB corpus scale. Training reads the
-    * (sampled) corpus once per subspace; one tiny driver action fetches
-    * the dimension up front (training is an offline batch job — the
-    * codebook then ships as a plan literal, like the IVF codebook).
+    * stay executor-resident at 100 TB corpus scale.
+    *
+    * Single-pass training (round 9): each Lloyd round is ONE corpus scan
+    * producing every subspace's per-cell sums at once ([[trainPqRound]] —
+    * one FileScan in the plan), where the round-8 form re-scanned the
+    * corpus per subspace (m scans per round plus m dimension/validity
+    * probes — at dim=768/m=96 that is 96× the training IO). The init
+    * collect doubles as the dimension probe, and the ragged-input guard
+    * runs once instead of once per subspace. Codebooks are bit-identical
+    * to independent per-slice [[trainCodebook]] runs (`IvfSpec` pins it):
+    * per-(subspace, cell) sums accumulate over the same rows in the same
+    * partition order either way.
     */
   def trainPqCodebooks(df: DataFrame, idCol: String, embCol: String,
                        m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
-    val dim = df.select(size(col(embCol))).head.getInt(0)
+    // init = the k lowest-id vectors (full-dim — each subspace slices its
+    // window), ONE collect that also yields the dimension
+    val initRows = df.orderBy(col(idCol)).limit(k)
+      .select(embCol).collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.nonEmpty, "trainPqCodebooks: empty input — nothing to train on")
+    require(initRows.length == k,
+      s"corpus smaller than codebook: ${initRows.length} < $k")
+    val dim = initRows(0).length
     require(m >= 1 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).toArray.map { j =>
-      trainCodebook(df.select(col(idCol),
-        slice(col(embCol), j * sub + 1, sub).as(embCol)), idCol, embCol, k, iters)
+    var codebooks: Array[Array[Array[Double]]] =
+      (0 until m).toArray.map(j => initRows.map(_.slice(j * sub, (j + 1) * sub)))
+    // one ragged/null pass for ALL subspaces (same loud-failure contract as
+    // trainCodebook — see its scaladoc for why this is a separate action)
+    val ragged = df.filter(col(embCol).isNull || size(col(embCol)) =!= dim).count()
+    require(ragged == 0,
+      s"$ragged embeddings are null or not length $dim — clean the corpus before training")
+    for (_ <- 0 until iters) {
+      val next = codebooks.map(_.map(_.clone()))
+      trainPqRound(df, embCol, codebooks).collect().foreach { r =>
+        val j = r.getInt(0)
+        val cell = r.getInt(1)
+        val n = r.getLong(2).toDouble
+        (0 until sub).foreach(i => next(j)(cell)(i) = r.getDouble(3 + i) / n)
+      }
+      codebooks = next
     }
+    codebooks
+  }
+
+  /** One single-pass PQ Lloyd round: ONE corpus scan feeding a
+    * (subspace, cell)-grouped hash aggregate — rows
+    * `(s, cell, n, s0..s(sub-1))`, the PQ analog of [[trainRound]]'s
+    * k-row shape. Each input row explodes into its `m` subspace entries
+    * (bounded ×m, each carrying only the `dim/m`-wide subvector — the
+    * total exploded payload equals the input payload), and map-side
+    * partial aggregation collapses them to ~m·k rows per partition before
+    * the one tiny exchange. Replaces the round-8 per-subspace re-scan (m
+    * FileScans per Lloyd round); an m·k·(dim/m+1)-column flat aggregate
+    * was also tried and rejected — Catalyst planning + codegen of ~1000
+    * aggregate buffers cost more per round than the scan it saved
+    * (measured: s4 1.5 s → 7.4 s). Sums accumulate the same slice values
+    * in the same partition order as the per-slice form, so codebooks stay
+    * bit-identical (`IvfSpec` pins parity); an empty cell has no output
+    * row and keeps its previous centroid, exactly as [[trainRound]].
+    */
+  private[graft] def trainPqRound(df: DataFrame, embCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val subEntries = array((0 until m).map { j =>
+      val sv = slice(col(embCol), j * sub + 1, sub)
+      struct(lit(j).as("s"),
+        element_at(ivfCells(sv, codebooks(j), 1), 1).as("cell"),
+        sv.as("sv"))
+    }: _*)
+    val sums = (0 until sub).map(i =>
+      sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+    df.select(explode(subEntries).as("e"))
+      .select(col("e.s").as("s"), col("e.cell").as("cell"), col("e.sv").as("sv"))
+      .groupBy("s", "cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
   }
 
   /** PQ encode: `array(m)` of nearest-subspace-centroid indices — the same
@@ -279,25 +342,6 @@ object AnnFunctions {
     }: _*)
   }
 
-  /** Asymmetric-distance (ADC) top-k over PQ codes via the published
-    * lookup-table plan: each query precomputes its similarity to every
-    * subspace centroid (a |Q|×m×k LUT — tiny, broadcast), the corpus
-    * contributes only its m-int codes (exploded to one row per subspace,
-    * map-only — the raw embeddings never ship), and the approximate score
-    * is `Σ_j sim(q_subj, centroid[code_j])`, assembled by joining codes to
-    * the LUT on (subspace, cell) and summing per (query, neighbor).
-    *
-    * 100 TB shape: the one corpus-sized exchange is the (query, neighbor)
-    * partial-sum aggregate (map-side combinable; m rows in, 1 out), plus
-    * the top-k window keyed by query — both on compressed codes, never on
-    * vectors. Scoring itself is a broadcast hash join against the LUT:
-    * per corpus row it costs a hash probe, not a dim-length dot product —
-    * the bandwidth win that makes brute ADC over 10¹⁰ codes feasible
-    * where brute cosine is not. Rounding to 4 decimals before the rank
-    * (with the id tie-break) keeps the result hash-stable: the per-pair
-    * sum has only m commutative terms (m=2 here), so partial-aggregation
-    * order cannot move the rounded score.
-    */
   /** The full two-stage PQ pipeline: ADC candidate generation
     * ([[pqTopK]], `candidates` per query — cheap, codes only) followed by
     * an EXACT cosine re-rank of just those candidates against the raw
@@ -305,21 +349,31 @@ object AnnFunctions {
     * exact order restored on a bounded set): the re-rank joins the
     * candidate ids back to the corpus — |Q|·candidates rows, a droplet
     * against the corpus — so the expensive dim-length dot products run
-    * O(|Q|·candidates) times instead of O(|Q|·|C|). The candidate join is
-    * keyed on neighbor_id with no hints (AQE broadcasts the candidate
-    * list at any sane |Q|); queries broadcast onto it for the re-score.
+    * O(|Q|·candidates) times instead of O(|Q|·|C|). Both re-rank joins are
+    * hint-free (round 9 — the round-8 hard `broadcast(qv)` shipped
+    * |Q|·dim·8 raw bytes with no |Q| bound, ~6 GB at 10⁶ queries × 768d):
+    * AQE broadcasts the candidate list and the query vectors while their
+    * runtime size allows and falls back to a keyed shuffle join past that,
+    * so an unbounded query set degrades to an extra exchange instead of a
+    * driver OOM.
+    *
+    * `k` is effectively `min(k, candidates)`: the ADC stage caps the pool
+    * at `candidates` rows per query, so asking for more than `candidates`
+    * neighbors returns `candidates` rows (enforced — see the require).
     */
   def pqRerankTopK(queries: DataFrame, corpus: DataFrame,
                    qId: String, cId: String, embCol: String, k: Int,
                    codebooks: Array[Array[Array[Double]]],
                    candidates: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(k <= candidates,
+      s"k=$k exceeds the ADC candidate pool ($candidates) — raise candidates")
     val cand = pqTopK(queries, corpus, qId, cId, embCol, candidates, codebooks)
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"))
     val cv = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"))
     cand.join(cv, Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
+      .join(qv, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cosine"))
       .withColumn("rank", row_number().over(
@@ -328,6 +382,29 @@ object AnnFunctions {
       .filter(col("rank") <= k)
   }
 
+  /** Asymmetric-distance (ADC) top-k over PQ codes via the published
+    * lookup-table plan: each query precomputes its similarity to every
+    * subspace centroid (a |Q|×m×k LUT), the corpus contributes only its
+    * m-int codes (exploded to one row per subspace, map-only — the raw
+    * embeddings never ship), and the approximate score is
+    * `Σ_j sim(q_subj, centroid[code_j])`, assembled by joining codes to
+    * the LUT on (subspace, cell) and summing per (query, neighbor).
+    *
+    * 100 TB shape: the one corpus-sized exchange is the (query, neighbor)
+    * partial-sum aggregate (map-side combinable; m rows in, 1 out), plus
+    * the top-k window keyed by query — both on compressed codes, never on
+    * vectors. Scoring is a hash join against the LUT: per corpus row it
+    * costs a hash probe, not a dim-length dot product — the bandwidth win
+    * that makes brute ADC over 10¹⁰ codes feasible where brute cosine is
+    * not. The LUT join carries NO hard hint (round 9 — the round-8
+    * `broadcast(lut)` force-shipped a |Q|·m·k set with no bound on |Q|):
+    * AQE broadcasts it at any sane query-batch size and degrades to a
+    * (s, code)-keyed shuffle join for unbounded query sets, the same
+    * de-hinting contract as d7/x12. Rounding to 4 decimals before the
+    * rank (with the id tie-break) keeps the result hash-stable: the
+    * per-pair sum has only m commutative terms (m=2 here), so
+    * partial-aggregation order cannot move the rounded score.
+    */
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              qId: String, cId: String, embCol: String, k: Int,
              codebooks: Array[Array[Array[Double]]]): DataFrame = {
@@ -348,7 +425,7 @@ object AnnFunctions {
       .select(col("query_id"), col("e.s").as("ls"), col("e.cell").as("cell"),
         cosine(slice(col("q"), col("e.s") * sub + 1, lit(sub)),
           col("e.centroid")).as("sim"))
-    codes.join(broadcast(lut),
+    codes.join(lut,
         col("s") === col("ls") && col("code") === col("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")

@@ -59,6 +59,7 @@ object Multimodal {
     * results are visually and statistically checkable.
     */
   def pngBytesReal(width: Int, height: Int, seed: Int): Array[Byte] = {
+    imageIoInMemory
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val row = new Array[Int](width)
@@ -80,6 +81,17 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** ImageIO wraps every read/write in a DISK-backed stream cache by
+    * default (a temp file created and deleted per image). The pixel legs
+    * here run entirely on in-memory byte arrays, so flip the JVM-global
+    * cache to memory once (guide §1.2 per-task work): two temp-file
+    * round-trips per image disappear and the encoded bytes are identical —
+    * only the staging location changes. Lazy so the static setter runs
+    * once per executor JVM, on first use inside the task.
+    */
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Real pixel resampling: decode a complete PNG (or any ImageIO-readable
     * payload), bilinear-resample to (ow, oh) on a `Graphics2D`, re-encode as
     * PNG — all public JDK (`javax.imageio` + `java.awt.image`), no external
@@ -89,6 +101,7 @@ object Multimodal {
     */
   private[graft] def resamplePng(b: Array[Byte], ow: Int, oh: Int): Option[Array[Byte]] =
     try {
+      imageIoInMemory
       val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (src == null) None
       else {
@@ -573,6 +586,7 @@ object Multimodal {
             val corner =
               if (ow == w && oh == h)
                 try {
+                  imageIoInMemory
                   val img = javax.imageio.ImageIO.read(
                     new java.io.ByteArrayInputStream(emitted))
                   if (img == null) None else Some(img.getRGB(0, 0) & 0xff)

@@ -32,19 +32,32 @@ object Sampling {
   }
 
   /** Per-stratum Bernoulli sampling at stratum-specific rates: keep a row
-    * iff `hashUnit(id) < rate(stratum)`. Rates compile to a plan-time CASE
-    * chain (strata counts are config-sized), so the whole operator is one
-    * codegen'd filter over the scan — at 100 TB this is the cheapest
-    * possible downsampling: no shuffle, no sort, pushdown-friendly.
+    * iff `hashUnit(id) < rate(stratum)`. Rates compile to a plan-time MAP
+    * literal probed once per row (strata counts are config-sized), so the
+    * whole operator is one codegen'd filter over the scan — at 100 TB this
+    * is the cheapest possible downsampling: no shuffle, no sort,
+    * pushdown-friendly.
+    *
+    * The map probe (round 9) references `strataCol` exactly ONCE. The
+    * round-8 CASE chain referenced it once per stratum, and when the
+    * stratum is itself a derived expression (x6 derives it with `langId`)
+    * Catalyst's projection collapse inlined the full derivation into every
+    * CASE arm of the pushed-down filter — measured 1.10 s → 0.34 s at
+    * sf0.1 for x6. `try_element_at` (NOT `element_at`, which raises on a
+    * missing key under Spark 4's ANSI default) yields NULL for absent or
+    * NULL strata, which `coalesce` routes to `defaultRate` exactly as the
+    * CASE chain's `otherwise` did.
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: Column,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0), s"rates out of [0,1]: $rates")
     require(defaultRate >= 0.0 && defaultRate <= 1.0, s"defaultRate out of [0,1]: $defaultRate")
-    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
-      case ((stratum, r), acc) => when(strataCol === stratum, lit(r)).otherwise(acc)
-    }
+    val rate =
+      if (rates.isEmpty) lit(defaultRate)
+      else coalesce(try_element_at(
+        map(rates.toSeq.sortBy(_._1).flatMap { case (s, r) =>
+          Seq(lit(s), lit(r)) }: _*), strataCol), lit(defaultRate))
     df.filter(hashUnit(col(idCol)) < rate)
   }
 }

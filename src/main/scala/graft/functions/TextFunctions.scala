@@ -47,15 +47,28 @@ object TextFunctions {
 
   /** Stopword-overlap language score per language; returns the argmax
     * language code or 'und' below `minHits` hits.
+    *
+    * Single-pass shape (round 9): the round-8 form referenced
+    * `array_max(...)` twice (`when(best.hits >= minHits, best.lang)`), so
+    * the whole 4-language intersect tree evaluated twice per reference —
+    * and callers that fold the result into a CASE chain (x6) multiplied it
+    * again. Instead the sub-threshold fallback is a sentinel element INSIDE
+    * the one `array_max`: `(minHits-1, 1, "und")` with a priority field
+    * that outranks real languages on a hits tie at the threshold boundary,
+    * so any language below `minHits` loses to the sentinel and ties among
+    * real languages still break by language code exactly as before.
+    * Result-identical to the two-reference form for every input.
     */
   def langId(text: Column, minHits: Int = 2): Column = {
     val toks = tokens(text)
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(size(array_intersect(array_distinct(toks),
-        array(words.map(lit): _*))).as("hits"), lit(lang).as("lang"))
+        array(words.map(lit): _*))).as("hits"), lit(0).as("pri"),
+        lit(lang).as("lang"))
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") >= minHits, best.getField("lang")).otherwise(lit("und"))
+    val sentinel = struct(lit(minHits - 1).as("hits"), lit(1).as("pri"),
+      lit("und").as("lang"))
+    array_max(array((scored :+ sentinel): _*)).getField("lang")
   }
 
   /** Composite quality score in [0,1]: length band, alpha ratio, stopword

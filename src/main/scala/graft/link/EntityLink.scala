@@ -120,30 +120,44 @@ object ConnectedComponents {
       .dropDuplicates()
       .localCheckpoint()
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // Initial labels fold the FIRST propagation round into the node-set
+    // aggregate: label₀(v) = min(v, min neighbor) — one hash aggregate over
+    // the symmetric edge set, the same single shuffle the old
+    // distinct-then-identity init paid, but one whole join round further
+    // along. Star-shaped entity graphs (g2) and near-dup triangles (d6)
+    // are already converged here, so the loop runs only the confirming
+    // round — measured round 9: g2's CC leg 2.1 s → ~1.3 s at sf0.1.
+    // The invariant label(v) ≤ v (labels only ever decrease toward the
+    // component minimum, and every label is a member id) holds from the
+    // start, exactly as with identity init.
+    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("component"))
       .localCheckpoint()
 
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
-      // neighbor minimum: one shuffle on dst
+      // neighbor minimum: one shuffle on dst. The typed-null `old` keeps
+      // the union two-legged (the jump leg below carries the previous
+      // label); max() ignores nulls, and every node gets exactly one
+      // non-null `old` from its jump row.
       val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"), lit(false).as("self"))
+        .select(col("dst").as("id"), col("component"),
+          when(lit(false), col("component")).as("old"))
       // pointer jump: label-of-label (component ids are node ids, so every
-      // component value has a labels row)
-      val jump = labels.toDF("id", "comp")
+      // component value has a labels row — the join is exactly one match
+      // per node). comp2 = label(label(v)) ≤ label(v), so the old label
+      // never needs to enter the min itself; carrying it as `old` lets the
+      // convergence probe filter the checkpointed result instead of paying
+      // a join + shuffle of its own every round (and drops the third
+      // union leg the round-8 form shuffled).
+      val jumpSelf = labels.toDF("id", "comp")
         .join(labels.toDF("cid", "comp2"), col("comp") === col("cid"))
-        .select(col("id"), col("comp2").as("component"), lit(false).as("self"))
-      // each id contributes exactly one self-tagged row, so the aggregate
-      // carries the PREVIOUS label alongside the new minimum — the
-      // convergence probe then filters the checkpointed result instead of
-      // paying a join + shuffle of its own every round
-      val next = labels.select(col("id"), col("component"), lit(true).as("self"))
-        .union(msgs)
-        .union(jump)
+        .select(col("id"), col("comp2").as("component"), col("comp").as("old"))
+      val next = msgs
+        .union(jumpSelf)
         .groupBy("id").agg(min("component").as("component"),
-          max(when(col("self"), col("component"))).as("old"))
+          max(col("old")).as("old"))
         .localCheckpoint()
       val changed = next.filter(col("component") =!= col("old")).limit(1).count()
       labels = next.select(col("id"), col("component"))
