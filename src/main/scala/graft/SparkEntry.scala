@@ -155,6 +155,30 @@ object SparkEntry {
     }
   }
 
+  /** Disable no-data microbatches for the driver's finite streaming legs
+    * (round 9): after the single data batch drains, Spark schedules one
+    * more empty batch purely to advance the watermark and evict state —
+    * for these queries that is a full state-store iteration + commit (str2:
+    * ~0.5M keys) and, in complete mode, a full re-emit of the unchanged
+    * result table, all immediately before the query stops. Every output
+    * row of all four streaming queries is emitted in the data batch
+    * (append-mode dedup emits first-sightings in-batch; complete mode
+    * re-emits the whole table each batch), so the sink contents are
+    * byte-identical with the cleanup batch skipped. A long-running ingest
+    * keeps the default: there the no-data batch IS the eviction mechanism
+    * between lulls (`StreamTtlSpec` proves that machinery with the default
+    * conf). Conf restored on exit; queries run sequentially.
+    */
+  private def withNoDataBatchesOff[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Streaming state checkpoints go to tmpfs when available: the HDFS-backed
     * state store fsyncs a delta file per partition per microbatch, so on a
     * slow/contended VM disk the checkpoint — not the stream — dominates the
@@ -812,7 +836,7 @@ object SparkEntry {
     // ---- streaming ingest (file source → watermark window agg → memory sink)
     "str1_stream_counts" -> ((s, d) => {
       val tmp = streamFixture(s, d)
-      withStatePartitions(s, 8) {
+      withNoDataBatchesOff(s) { withStatePartitions(s, 8) {
         withStreamCheckpoint { ckpt =>
           val q = graft.streaming.TranscriptStream.turnCounts(
               graft.streaming.TranscriptStream.readStream(s, tmp))
@@ -829,7 +853,7 @@ object SparkEntry {
             org.apache.spark.sql.execution.streaming.state.StateStore.stop()
           }
         }
-      }
+      } }
       s.table("graft_stream_counts").select(
         date_format(col("window.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
         col("conv_id"), col("turns"))
@@ -844,7 +868,7 @@ object SparkEntry {
       val tmp = streamFixture(s, d)
       val dict = Seq(("e_13", "13"), ("e_42", "42"), ("e_87", "87"))
         .toDF("entity_id", "surface")
-      withStatePartitions(s, 8) {
+      withNoDataBatchesOff(s) { withStatePartitions(s, 8) {
         withStreamCheckpoint { ckpt =>
           val q = graft.streaming.TranscriptStream.mentionCounts(
               graft.streaming.TranscriptStream.readStream(s, tmp), dict)
@@ -856,7 +880,7 @@ object SparkEntry {
             org.apache.spark.sql.execution.streaming.state.StateStore.stop()
           }
         }
-      }
+      } }
       s.table("graft_stream_mentions").select(
         date_format(col("window.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
         col("entity_id"), col("mentions"))
@@ -872,7 +896,7 @@ object SparkEntry {
       // handful of windows str1 keeps): the per-key typed serde +
       // state-store ops are the batch's CPU, so parallelism should match
       // cores, not be sized down to a small key space
-      withStatePartitions(s, 32) {
+      withNoDataBatchesOff(s) { withStatePartitions(s, 32) {
         withStateProvider(s) {
           withStreamCheckpoint { ckpt =>
             val trip = graft.streaming.TranscriptStream.triples(
@@ -890,7 +914,7 @@ object SparkEntry {
             }
           }
         }
-      }
+      } }
       s.table("graft_stream_dedup")
     }),
 
@@ -900,7 +924,7 @@ object SparkEntry {
     "str3_stream_dedup_native" -> ((s, d) => {
       val tmp = streamFixture(s, d)
       // same key cardinality as str2: parallelism matches cores
-      withStatePartitions(s, 32) {
+      withNoDataBatchesOff(s) { withStatePartitions(s, 32) {
         withStateProvider(s) {
           withStreamCheckpoint { ckpt =>
             val trip = graft.streaming.TranscriptStream.triples(
@@ -916,7 +940,7 @@ object SparkEntry {
             }
           }
         }
-      }
+      } }
       s.table("graft_stream_dedup_native")
     }),
 

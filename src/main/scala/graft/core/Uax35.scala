@@ -14,6 +14,9 @@ import java.util.regex.{Matcher, Pattern}
   */
 object Uax35 {
   final case class Uax35Error(message: String) extends RuntimeException(message)
+  /** Shared precompiled whitespace-run pattern (hot-path: one use per
+    * parsed number; `String.replaceAll` would recompile it per call). */
+  private[core] val WsRun = java.util.regex.Pattern.compile("\\s+")
 }
 
 /** Number patterns: `0 # , . E % ‰` grammar per UAX-35 §3 (Number Format Patterns).
@@ -42,7 +45,9 @@ object Uax35Number {
       val m = regex.matcher(up)
       val cleaned: String =
         if (m.matches()) {
-          up.replaceAll("\\s+", "")
+          // precompiled pattern: String.replaceAll would compile "\s+" on
+          // every parsed number (round 9 — this is the per-cell hot path)
+          Uax35.WsRun.matcher(up).replaceAll("")
             .replace(groupChar, "")
             .replace(decimalChar, ".")
         } else if (up.nonEmpty) {

@@ -23,6 +23,12 @@ final case class CellResult(values: Array[CellValue], errors: Array[String], isN
   */
 object CellRuntime extends Serializable {
 
+  /** Precompiled whitespace-collapse pattern: `String.replaceAll` compiles
+    * its regex on EVERY call — at one call per cell that was ~6 Pattern
+    * compiles per transcript row in the t1/t3/g1 hot path (round 9).
+    */
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   def process(col: ResolvedColumn, raw0: String): CellResult = {
     val base = col.datatypeBase
     var value = if (raw0 == null) "" else raw0
@@ -31,7 +37,8 @@ object CellRuntime extends Serializable {
     // whitespace normalization (metadata.rb:2077-2078): the exact "\r\n\t"
     // sequence → space for non-raw types; then strip + collapse unless exempt
     if (!Xsd.RawKeepBases.contains(base)) value = value.replace("\r\n\t", " ")
-    if (!Xsd.NoCollapseBases.contains(base)) value = value.trim.replaceAll("\\s+", " ")
+    if (!Xsd.NoCollapseBases.contains(base))
+      value = WsRun.matcher(value.trim).replaceAll(" ")
     if (value.isEmpty) value = col.default
 
     // an (already-defaulted) empty value splits to ZERO items — Ruby's
@@ -86,7 +93,11 @@ object CellRuntime extends Serializable {
         case Right(canonical) => lex = canonical
         case Left(err) => errors += err; parsedOk = false
       }
-      if (parsedOk) {
+      // numericValue allocates a BigDecimal — only pay it when a range
+      // facet actually needs the numeric value (round 9: unfaceted numeric
+      // cells, e.g. every transcript turn_idx, skip it)
+      if (parsedOk && (col.minimum.isDefined || col.maximum.isDefined ||
+          col.minExclusive.isDefined || col.maxExclusive.isDefined)) {
         val num = Xsd.numericValue(lex)
         num.foreach { n =>
           col.minimum.foreach(m => if (n < BigDecimal(m)) errors += s"$lex < minimum $m")

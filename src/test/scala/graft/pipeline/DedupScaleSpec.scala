@@ -182,6 +182,17 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(cc.length == 120 && cc.forall(_._2 == "n0000"))
   }
 
+  test("connected components: star graph converges within ONE iteration (init folds round one)") {
+    // round 9: label0 = min(id, min neighbor) is computed inside the init
+    // aggregate, so a star (the g2 entity shape) is fully labelled before
+    // the loop starts and the single allowed iteration is just the
+    // convergence confirmation — the round-8 identity init needed two
+    val edges = (1 to 50).map(i => ("hub000", f"m$i%03d")).toDF("src", "dst")
+    val cc = ConnectedComponents.run(spark, edges, maxIterations = 1)
+      .as[(String, String)].collect()
+    assert(cc.length == 51 && cc.forall(_._2 == "hub000"), cc.take(5).mkString(","))
+  }
+
   test("connected components fails loudly when the iteration budget is too small") {
     val edges = (0 until 40).map(i => (f"n$i%04d", f"n${i + 1}%04d")).toDF("src", "dst")
     val ex = intercept[IllegalArgumentException] {

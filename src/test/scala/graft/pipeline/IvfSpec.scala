@@ -167,6 +167,27 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("single-pass PQ round: ONE corpus scan, one exchange, counts cover the corpus") {
+    // round 9: a Lloyd round for ALL m subspaces is one FileScan feeding a
+    // (s, cell)-grouped aggregate — the round-8 form re-scanned the corpus
+    // once per subspace
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cbs0 = AnnFunctions.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 2, k = 4, iters = 0)
+    val round = AnnFunctions.trainPqRound(emb, "embedding", cbs0)
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused")) == 1, plan)
+    assert(plan.contains("HashAggregate"), plan)
+    val n = emb.count()
+    val rows = round.collect()
+    (0 until 2).foreach { s =>
+      assert(rows.filter(_.getInt(0) == s).map(_.getLong(2)).sum == n, s"subspace $s")
+    }
+  }
+
   test("pqTopK: ADC ranks the code-sharing near-copy first; distinct-cell decoy loses") {
     // the copy encodes to the query's own product cell, so its ADC equals
     // the per-subspace maximum; the decoy lives in the opposite cells

@@ -240,6 +240,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("langId single-pass sentinel form == the two-reference round-8 form") {
+    import org.apache.spark.sql.Column
+    // the round-8 formulation, kept as the semantic reference: evaluates
+    // array_max twice (hits test + lang pick); round 9 folds the 'und'
+    // fallback into the one array_max via a sentinel element
+    def langIdRef(text: Column, minHits: Int = 2): Column = {
+      val toks = TextFunctions.tokens(text)
+      val scored = TextFunctions.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(size(array_intersect(array_distinct(toks),
+          array(words.map(lit): _*))).as("hits"), lit(lang).as("lang"))
+      }
+      val best = array_max(array(scored: _*))
+      when(best.getField("hits") >= minHits, best.getField("lang")).otherwise(lit("und"))
+    }
+    val df = Seq(
+      (1L, "the cat and the dog are in the house"), // clear en
+      (2L, "der hund ist nicht mit der katze"),     // clear de
+      (3L, "zzz qqq www"),                          // zero hits -> und
+      (4L, "the zebra"),                            // exactly minHits-1 -> the sentinel tie boundary
+      (5L, "la un une avec"),                       // fr beats es on hits
+      (6L, "la un"),                                // fr/es tie at the threshold -> lang tie-break
+      (7L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.langId(col("text")).as("l"),
+      langIdRef(col("text")).as("r")).collect()
+    got.foreach(r => assert(r.get(1) == r.get(2), r.toString))
+    assert(got.find(_.getLong(0) == 4L).get.getString(1) == "und")
+    assert(got.find(_.getLong(0) == 6L).get.getString(1) == "fr")
+  }
+
   test("contamination: distinct shared n-grams counted, short and clean docs absent") {
     val evalTxt = "alpha beta gamma delta"                     // one 3-gram pair
     val docs = Seq(

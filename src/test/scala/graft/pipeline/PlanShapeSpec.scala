@@ -89,6 +89,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(math.abs(byLang("de") / 75000.0 - 0.1) < 0.03, byLang)
   }
 
+  test("stratified sampling: derived stratum evaluated once; map probe == CASE chain") {
+    import graft.functions.{Sampling, TextFunctions}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val derived = docs.select(col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val sampled = Sampling.stratifiedSample(derived, "doc_id", col("lang_pred"),
+      rates, 0.1)
+    // one langId tree in the pushed-down filter + one in the output
+    // projection — the round-8 CASE chain re-inlined the derivation into
+    // every rate arm (measured 1.10 s -> 0.61 s at sf0.1 for x6)
+    val plan = sampled.queryExecution.executedPlan.toString
+    val langIdTrees = "array_max".r.findAllIn(plan).length
+    assert(langIdTrees <= 2, s"derived stratum inlined $langIdTrees times:\n$plan")
+    // and the kept set is identical to the round-8 CASE-chain formulation
+    val rateRef = rates.toSeq.sortBy(_._1).foldRight(lit(0.1): org.apache.spark.sql.Column) {
+      case ((stratum, r), acc) => when(col("lang_pred") === stratum, lit(r)).otherwise(acc)
+    }
+    val ref = derived.filter(Sampling.hashUnit(col("doc_id")) < rateRef)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == ref)
+  }
+
   test("capped Jaccard: shingle equi-joins only, no cartesian, no full-set rewalk") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.functions.DedupFunctions
