@@ -217,6 +217,12 @@ object DedupFunctions {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0, s"threshold out of (0,1]: $threshold")
     val byId = Window.partitionBy(col("id"))
+    // NOTE (round 9, measured): computing the per-doc shingle count
+    // map-side (size of the distinct array pre-explode) instead of this
+    // window looks like a saved exchange, but it regressed d4 1.2 s → 9.3 s
+    // — the window's id-keyed exchange is what the localCheckpoint
+    // preserves as the table's physical partitioning, which the prefix
+    // branch's row_number window then consumes exchange-free. Kept as-is.
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))

@@ -278,12 +278,34 @@ object Multimodal {
     * expensive per row, so driver queries bound the slice they apply it to.
     * `realSamples = true` likewise emits COMPLETE PCM16 WAVs
     * ([[wavBytesReal]], same rate/channels/frames formulas, seed = doc_id).
+    *
+    * Parallelism (round 9, guide §2.5/§6): the id source here is one
+    * small parquet file — ONE input split, below a row group parquet
+    * cannot split — so payload synthesis AND every downstream codec pass
+    * ran on a single task while 31 cores idled. For the REAL-PIXEL leg
+    * (the expensive ImageIO raster path) the 8-byte id rows are
+    * round-robin repartitioned to the cluster's parallelism BEFORE
+    * payloads exist — the cheapest possible placement of the exchange
+    * (move small rows, then generate the heavy bytes; guide §8): m4
+    * measured 1.39 s → 0.39 s at sf0.1. A data-scale input already
+    * arrives with ≥ cores partitions and skips the exchange. The audio
+    * and header-only legs deliberately stay un-spread — measured SLOWER
+    * parallelized at fixture scale (m5/m6/m7 0.24/0.31/0.29 s → 0.53/
+    * 0.64/0.63 s: `javax.sound` provider lookup serializes across tasks
+    * and the per-task overhead exceeds their cheap codec work). Row-set
+    * output is identical under any partitioning (the map is per-row
+    * pure).
     */
   def withSyntheticPayload(df: DataFrame, idCol: String,
                            realPixels: Boolean = false,
                            realSamples: Boolean = false): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("doc_id")).as[Long].map { id =>
+    val ids = df.select(col(idCol).cast("long").as("doc_id"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (realPixels && ids.rdd.getNumPartitions < par) ids.repartition(par)
+      else ids
+    spread.as[Long].map { id =>
       val payload = (id % 3) match {
         case 0 =>
           val (w, h) = ((id * 7 % 512 + 16).toInt, (id * 13 % 512 + 16).toInt)

@@ -69,7 +69,15 @@ class HeadlinePlanSpec extends AnyFunSuite {
     ("x15_domain_weights", 2, 0),
     // one conv-keyed hash aggregate
     ("x16_loss_mask", 1, 0),
-    ("m4_resize_reencode", 0, 0),
+    // m4: ONE round-robin exchange of bare 8-byte ids BEFORE payload
+    // synthesis (round 9): the single-file fixture scan is one
+    // unsplittable input split, so the ImageIO raster leg ran on one task
+    // (1.39 s) while 31 cores idled; the codec/map work itself is still a
+    // single shuffle-free stage after the spread (0.39 s), and a
+    // data-scale input (≥ cores partitions) skips the exchange entirely.
+    // The audio legs stay 0-exchange — measured slower parallelized
+    // (javax.sound provider lookup serializes across tasks).
+    ("m4_resize_reencode", 1, 0),
     ("m5_audio_decode", 0, 0),
     ("m6_audio_resample", 0, 0),
     ("m7_audio_lowpass", 0, 0),
